@@ -1,0 +1,152 @@
+"""Evaluation CLI.
+
+Reference: ``/root/reference/test.py`` — full-resolution batch-1 inference,
+per-image PSNR/SSIM, Bayer channel-order correction heuristics, JPEG dumps
+named with their metrics, CSV summary. Differences by design: metrics run
+on-device in JAX (no skimage round-trip), and checkpoints are orbax trees
+with an optional ``--pth`` path through the torch importer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def correct_bayer_channels(rgb: np.ndarray, pattern: str = "RGGB") -> np.ndarray:
+    """Channel permutation per CFA pattern (``test.py:17-29``)."""
+    pattern = pattern.upper()
+    if pattern == "BGGR":
+        return rgb[..., [2, 1, 0]]
+    if pattern == "GBRG":
+        return rgb[..., [1, 0, 2]]
+    if pattern == "GRBG":
+        return rgb[..., [0, 2, 1]]
+    return rgb
+
+
+def auto_correct_rb(rgb: np.ndarray) -> np.ndarray:
+    """Swap R/B if red is darker than blue (``test.py:31-40``)."""
+    if rgb[..., 0].mean() < rgb[..., 2].mean():
+        return rgb[..., [2, 1, 0]]
+    return rgb
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate RawFormer on SID/MCR (TPU)")
+    p.add_argument("--dataset", default="SID", choices=["SID", "MCR", "synthetic"])
+    p.add_argument("--model_size", default="S", choices=["S", "B", "L"])
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--patch_size", type=int, default=512, help="(synthetic dataset size)")
+    p.add_argument("--bayer_pattern", default="RGGB")
+    p.add_argument("--data_root", default=".")
+    p.add_argument("--cache_dir", default=None)
+    p.add_argument("--save_dir", default="result")
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    p.add_argument("--pth", default=None, help="PyTorch .pth checkpoint to import")
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--save_images", action="store_true")
+    p.add_argument("--pad_to", type=int, default=16, help="pad H/W to multiple")
+    return p
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from bayer_low_light_image_enhancement_tpu.cli.train_cli import build_datasets
+    from bayer_low_light_image_enhancement_tpu.models.rawformer import (
+        RawFormer,
+        RawFormerConfig,
+    )
+    from bayer_low_light_image_enhancement_tpu.train.metrics import psnr, ssim
+    from bayer_low_light_image_enhancement_tpu.utils.logging import MetricsLogger
+
+    args = build_parser().parse_args(argv)
+    _, val_ds = build_datasets(args)
+
+    cfg = RawFormerConfig.from_size(
+        args.model_size, dtype=jnp.float32 if args.fp32 else jnp.bfloat16
+    )
+    model = RawFormer(cfg)
+
+    rng = np.random.default_rng(0)
+    sample = val_ds.sample(0, rng)
+    init_x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), init_x)
+
+    if args.pth:
+        from bayer_low_light_image_enhancement_tpu.compat.torch_import import (
+            import_rawformer_state_dict,
+            load_torch_checkpoint,
+        )
+
+        params = jax.tree.map(jnp.asarray, import_rawformer_state_dict(load_torch_checkpoint(args.pth)))
+        print(f"imported torch checkpoint {args.pth}")
+    elif args.ckpt:
+        from bayer_low_light_image_enhancement_tpu.train.checkpoint import CheckpointManager
+        from bayer_low_light_image_enhancement_tpu.train.trainer import (
+            TrainConfig,
+            Trainer,
+            TrainState,
+        )
+
+        trainer = Trainer(model, TrainConfig())
+        template = TrainState.create(params, trainer.tx)
+        mgr = CheckpointManager(args.ckpt)
+        restored, step = mgr.restore(template)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.ckpt}")
+        params = restored.params
+        print(f"restored orbax checkpoint step {step}")
+
+    fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))
+    metric_fn = jax.jit(
+        lambda p_img, g_img: (
+            psnr(jnp.floor(p_img * 255.0), jnp.floor(g_img * 255.0)),
+            ssim(jnp.floor(p_img * 255.0), jnp.floor(g_img * 255.0)),
+        )
+    )
+
+    save_images_dir = os.path.join(args.save_dir, args.dataset, "images")
+    save_csv = os.path.join(args.save_dir, args.dataset, "csv", "test_metrics.csv")
+    if args.save_images:
+        os.makedirs(save_images_dir, exist_ok=True)
+
+    psnrs, ssims = [], []
+    for idx in range(len(val_ds)):
+        inp, gt, _ratio = val_ds.sample(idx, rng)
+        h, w = inp.shape[:2]
+        ph = (-h) % args.pad_to
+        pw = (-w) % args.pad_to
+        x = np.pad(inp, ((0, ph), (0, pw), (0, 0)))[None]
+        pred = np.asarray(fwd(params, jnp.asarray(x)))[0, :h, :w]
+
+        pred_u8 = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
+        gt_u8 = (np.clip(gt, 0, 1) * 255).astype(np.uint8)
+        pred_u8 = auto_correct_rb(correct_bayer_channels(pred_u8, args.bayer_pattern))
+        gt_u8 = auto_correct_rb(correct_bayer_channels(gt_u8, args.bayer_pattern))
+
+        p, s = metric_fn(jnp.asarray(pred_u8 / 255.0), jnp.asarray(gt_u8 / 255.0))
+        p, s = float(p), float(s)
+        psnrs.append(p)
+        ssims.append(s)
+        print(f"image:{idx}\tPSNR:{p:.4f}\tSSIM:{s:.4f}")
+
+        if args.save_images:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(os.path.join(save_images_dir, f"{idx}_gt.jpg"), gt_u8)
+            imageio.imwrite(
+                os.path.join(save_images_dir, f"{idx}_psnr_{p:.4f}_ssim_{s:.4f}.jpg"),
+                pred_u8,
+            )
+
+    print(f"Average PSNR: {np.mean(psnrs):.4f}, Average SSIM: {np.mean(ssims):.4f}")
+    MetricsLogger().write_metrics_csv(save_csv, psnrs, ssims)
+
+
+if __name__ == "__main__":
+    main()

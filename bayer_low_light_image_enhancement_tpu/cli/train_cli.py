@@ -1,0 +1,187 @@
+"""Training CLI.
+
+Implements — for real — the argparse surface the reference README documents
+but its scripts don't implement (``/root/reference/README.md:44-65`` vs the
+hard-coded opt dicts at ``train.py:31-50``): ``--dataset --model_size
+--batch_size``, with ``--gpu_id`` generalised to ``--num_chips`` (a data
+mesh over ICI instead of CUDA_VISIBLE_DEVICES).
+
+Training semantics follow ``/root/reference/train.py:127-183``: epoch loop,
+per-epoch validation PSNR on the uint8 grid, best + every-50-epochs
+checkpoints, text log + TensorBoard scalars.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from bayer_low_light_image_enhancement_tpu.core.mesh import create_mesh
+from bayer_low_light_image_enhancement_tpu.data import (
+    Loader,
+    MCRDataset,
+    SIDDataset,
+    SyntheticBayerDataset,
+    discover_sid_pairs,
+)
+from bayer_low_light_image_enhancement_tpu.models.rawformer import (
+    RawFormer,
+    RawFormerConfig,
+)
+from bayer_low_light_image_enhancement_tpu.train.checkpoint import (
+    BestTracker,
+    CheckpointManager,
+)
+from bayer_low_light_image_enhancement_tpu.train.trainer import TrainConfig, Trainer
+from bayer_low_light_image_enhancement_tpu.utils.logging import MetricsLogger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train RawFormer on SID/MCR (TPU)")
+    p.add_argument("--dataset", default="SID", choices=["SID", "MCR", "synthetic"])
+    p.add_argument("--model_size", default="S", choices=["S", "B", "L"])
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--patch_size", type=int, default=512)
+    p.add_argument("--epochs", type=int, default=3000)
+    p.add_argument("--base_lr", type=float, default=1e-4)
+    p.add_argument("--loss", default="charbonnier", choices=["charbonnier", "l1", "mse", "sid_color"])
+    p.add_argument("--num_chips", type=int, default=-1, help="-1 = all devices")
+    p.add_argument("--data_root", default=".")
+    p.add_argument("--cache_dir", default=None, help="decoded-ARW npz cache")
+    p.add_argument("--save_dir", default="result")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--val_every", type=int, default=1)
+    p.add_argument("--save_every", type=int, default=50)
+    return p
+
+
+def build_datasets(args):
+    if args.dataset == "SID":
+        tr_s, tr_l = discover_sid_pairs(args.data_root, "train")
+        te_s, te_l = discover_sid_pairs(args.data_root, "test")
+        train = SIDDataset(tr_s, tr_l, args.patch_size, True, args.cache_dir)
+        val = SIDDataset(te_s, te_l, args.patch_size, False, args.cache_dir)
+    elif args.dataset == "MCR":
+        root = args.data_root
+        paths = np.load(
+            f"{root}/Mono_Colored_RAW_Paired_DATASET/random_path_list/train/train_c_path.npy",
+            allow_pickle=True,
+        ).tolist()
+        rgbs = np.load(
+            f"{root}/Mono_Colored_RAW_Paired_DATASET/random_path_list/train/train_rgb_path.npy",
+            allow_pickle=True,
+        ).tolist()
+        te_paths = np.load(
+            f"{root}/Mono_Colored_RAW_Paired_DATASET/random_path_list/test/test_c_path.npy",
+            allow_pickle=True,
+        ).tolist()
+        te_rgbs = np.load(
+            f"{root}/Mono_Colored_RAW_Paired_DATASET/random_path_list/test/test_rgb_path.npy",
+            allow_pickle=True,
+        ).tolist()
+        train = MCRDataset(paths, rgbs, args.patch_size, True)
+        val = MCRDataset(te_paths, te_rgbs, args.patch_size, False)
+    else:
+        train = SyntheticBayerDataset(
+            num_images=16, full_size=(args.patch_size * 2, args.patch_size * 2 + 64),
+            patch_size=args.patch_size, training=True,
+        )
+        val = SyntheticBayerDataset(
+            num_images=4, full_size=(args.patch_size, args.patch_size),
+            patch_size=args.patch_size, training=False, seed=1,
+        )
+    return train, val
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+
+    train_ds, val_ds = build_datasets(args)
+    train_loader = Loader(train_ds, args.batch_size, shuffle=True)
+    val_loader = Loader(val_ds, min(args.batch_size, len(val_ds)), shuffle=False, drop_last=False)
+    steps_per_epoch = max(1, len(train_loader))
+
+    mesh = create_mesh(data=args.num_chips)
+    cfg = RawFormerConfig.from_size(
+        args.model_size, dtype=jnp.float32 if args.fp32 else jnp.bfloat16
+    )
+    model = RawFormer(cfg)
+    trainer = Trainer(
+        model,
+        TrainConfig(
+            base_lr=args.base_lr,
+            total_epochs=args.epochs,
+            steps_per_epoch=steps_per_epoch,
+            loss=args.loss,
+        ),
+        mesh=mesh,
+    )
+
+    save_root = f"{args.save_dir}/{args.dataset}"
+    ckpt = CheckpointManager(f"{save_root}/weights")
+    logger = MetricsLogger(f"{save_root}/log.txt", f"{save_root}/tb")
+    best = BestTracker()
+
+    sample = train_ds.sample(0, np.random.default_rng(0))
+    state = trainer.init(jax.random.PRNGKey(0), jnp.asarray(sample[0][None]))
+    start_epoch = 0
+    if args.resume:
+        restored, step = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            start_epoch = int(step) + 1
+            print(f"resumed from epoch {step}")
+
+    for epoch in range(start_epoch, args.epochs + 1):
+        t0 = time.time()
+        epoch_loss, n_steps = 0.0, 0
+        for batch in train_loader:
+            inp, gt = batch[0], batch[1]
+            b = trainer.shard_batch((inp, gt))
+            state, loss = trainer.train_step(state, b)
+            epoch_loss += float(loss)
+            n_steps += 1
+
+        avg_psnr = np.nan
+        if epoch % args.val_every == 0:
+            psnrs = []
+            for batch in val_loader:
+                inp, gt = batch[0], batch[1]
+                _, per_image = trainer.eval_step(state.params, (inp, gt))
+                psnrs.extend(np.asarray(per_image).tolist())
+            avg_psnr = float(np.mean(psnrs)) if psnrs else np.nan
+            if best.update(epoch, avg_psnr):
+                ckpt.save(epoch, state, metrics={"psnr": avg_psnr})
+
+        if epoch % args.save_every == 0 or epoch == args.epochs:
+            ckpt.save(epoch, state)
+
+        dt = time.time() - t0
+        logger.log_epoch(epoch, args.epochs, dt, epoch_loss, avg_psnr, best.best_psnr, best.best_epoch)
+        logger.log_scalars(
+            epoch,
+            {
+                "valid_PSNR": avg_psnr,
+                "best_PSNR": best.best_psnr,
+                "best_epoch": best.best_epoch,
+                "epoch_time": dt,
+                "epoch_loss": epoch_loss,
+            },
+        )
+        print(
+            f"epoch {epoch}/{args.epochs} loss={epoch_loss:.4f} "
+            f"psnr={avg_psnr:.3f} best={best.best_psnr:.3f}@{best.best_epoch} ({dt:.1f}s)"
+        )
+
+    ckpt.wait()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

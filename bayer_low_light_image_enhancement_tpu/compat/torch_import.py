@@ -1,0 +1,159 @@
+"""PyTorch ``.pth`` checkpoint import for output-parity verification.
+
+The reference saves ``{'epoch', 'state_dict', 'optimizer'}`` dicts
+(``/root/reference/train.py:168-183``) and strips DataParallel ``module.``
+prefixes at load (``/root/reference/test.py:90-91``). This module maps those
+state_dicts onto our flax parameter pytree:
+
+* torch Conv2d weight (O, I/g, kh, kw)      -> HWIO kernel (kh, kw, I/g, O)
+* torch ConvTranspose2d k=2 (I, O, 2, 2)    -> our Upsample2x 1x1 kernel
+  (1, 1, I, 4O) with column index o*4 + di*2 + dj (see models/common.py)
+* LayerNorm weight/bias                      -> direct
+* attention temperature (heads, 1, 1)        -> (heads,)
+
+Name scheme follows the canonical reference module tree (embedding,
+conv_tran1..7 {conv, Transformer{norm1, attn{qkv, qkv_dwconv, project_out,
+temperature}, ffn{pointwise1, depthwise, pointwise2}}, channel_reduce,
+Conv_out}, down1..3.body.0, up1..3, channel_reduce1..3, conv_out), tolerating
+the root-copy spelling differences (attn.proj, Sequential indices, nested
+norm wrappers).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth checkpoint into a flat {name: np.ndarray} dict.
+
+    Accepts either a bare state_dict or the reference's wrapper dict; strips
+    ``module.`` prefixes. Requires torch (CPU build is enough).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    out = {}
+    for k, v in state.items():
+        k = k[len("module.") :] if k.startswith("module.") else k
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def conv_w(w: np.ndarray) -> np.ndarray:
+    """(O, I/g, kh, kw) -> (kh, kw, I/g, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convT2x2_to_upsample(w: np.ndarray) -> np.ndarray:
+    """(I, O, 2, 2) transposed kernel -> (1, 1, I, 4O) pixel-shuffle kernel."""
+    i, o, kh, kw = w.shape
+    if (kh, kw) != (2, 2):
+        raise ValueError(f"expected 2x2 transposed kernel, got {w.shape}")
+    # column index = o*4 + di*2 + dj
+    w = np.transpose(w, (0, 1, 2, 3)).reshape(i, o * 4)
+    return w.reshape(1, 1, i, o * 4)
+
+
+def _get(sd: Mapping[str, np.ndarray], *names: str) -> np.ndarray:
+    for n in names:
+        if n in sd:
+            return sd[n]
+    raise KeyError(f"none of {names} in checkpoint (have e.g. {list(sd)[:8]}...)")
+
+
+def _conv(sd, base: str, bias: bool = True) -> Dict[str, np.ndarray]:
+    p = {"kernel": conv_w(_get(sd, f"{base}.weight"))}
+    if bias and f"{base}.bias" in sd:
+        p["bias"] = sd[f"{base}.bias"]
+    return p
+
+
+def _layernorm(sd, base: str) -> Dict[str, np.ndarray]:
+    w = _get(sd, f"{base}.weight", f"{base}.body.weight", f"{base}.norm.weight")
+    p = {"weight": w}
+    for cand in (f"{base}.bias", f"{base}.body.bias", f"{base}.norm.bias"):
+        if cand in sd:
+            p["bias"] = sd[cand]
+            break
+    return p
+
+
+def _attention(sd, base: str) -> Dict[str, Any]:
+    # Root copy spells qkv as a Sequential (qkv.0 / qkv.1) and the projection
+    # as `proj`; WFB spells them qkv / qkv_dwconv / project_out.
+    if f"{base}.qkv.0.weight" in sd:
+        qkv, dw = f"{base}.qkv.0", f"{base}.qkv.1"
+    else:
+        qkv, dw = f"{base}.qkv", f"{base}.qkv_dwconv"
+    proj = f"{base}.proj" if f"{base}.proj.weight" in sd else f"{base}.project_out"
+    temp = _get(sd, f"{base}.temperature", f"{base}.scale")
+    return {
+        "qkv": _conv(sd, qkv),
+        "qkv_dwconv": _conv(sd, dw),
+        "project_out": _conv(sd, proj),
+        "temperature": temp.reshape(-1),
+    }
+
+
+def _ffn(sd, base: str) -> Dict[str, Any]:
+    if f"{base}.pointwise1.weight" in sd:
+        names = ("pointwise1", "depthwise", "pointwise2")
+        return {n: _conv(sd, f"{base}.{n}") for n in names}
+    # Root ConvFFN is a Sequential: net.0 (1x1), net.1 (dw), net.3 (1x1).
+    return {
+        "pointwise1": _conv(sd, f"{base}.net.0"),
+        "depthwise": _conv(sd, f"{base}.net.1"),
+        "pointwise2": _conv(sd, f"{base}.net.3"),
+    }
+
+
+def _transformer_block(sd, base: str) -> Dict[str, Any]:
+    return {
+        "norm1": _layernorm(sd, f"{base}.norm1"),
+        "attn": _attention(sd, f"{base}.attn"),
+        "norm2": _layernorm(sd, f"{base}.norm2"),
+        "ffn": _ffn(sd, f"{base}.ffn"),
+    }
+
+
+def _conv_transformer(sd, base: str) -> Dict[str, Any]:
+    tr = f"{base}.Transformer" if f"{base}.Transformer.attn.qkv.weight" in sd or any(
+        k.startswith(f"{base}.Transformer.") for k in sd
+    ) else f"{base}.transformer"
+    out = f"{base}.Conv_out" if f"{base}.Conv_out.weight" in sd else f"{base}.out.0"
+    reduce = f"{base}.channel_reduce" if f"{base}.channel_reduce.weight" in sd else f"{base}.reduce"
+    return {
+        "conv": _conv(sd, f"{base}.conv"),
+        "transformer": _transformer_block(sd, tr),
+        "channel_reduce": _conv(sd, reduce),
+        "conv_out": _conv(sd, out),
+    }
+
+
+def _upsample(sd, base: str) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": convT2x2_to_upsample(_get(sd, f"{base}.weight")),
+        "bias": _get(sd, f"{base}.bias"),
+    }
+
+
+def _downsample(sd, base: str) -> Dict[str, Any]:
+    conv = f"{base}.body.0" if f"{base}.body.0.weight" in sd else f"{base}.net.0"
+    return {"conv": _conv(sd, conv, bias=False)}
+
+
+def import_rawformer_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a canonical RawFormer torch state_dict to our flax params tree."""
+    params: Dict[str, Any] = {"embedding": _conv(sd, "embedding")}
+    for k in range(1, 8):
+        params[f"conv_tran{k}"] = _conv_transformer(sd, f"conv_tran{k}")
+    for j in range(1, 4):
+        params[f"down{j}"] = _downsample(sd, f"down{j}")
+        params[f"up{j}"] = _upsample(sd, f"up{j}")
+        params[f"channel_reduce{j}"] = _conv(sd, f"channel_reduce{j}")
+    params["conv_out"] = _conv(sd, "conv_out")
+    return {"params": params}

@@ -1,0 +1,65 @@
+"""Device-mesh construction and canonical axis names.
+
+The reference's only parallelism is single-host ``nn.DataParallel``
+(``/root/reference/train.py:109-110``). Here parallelism is expressed the TPU
+way: a :class:`jax.sharding.Mesh` with named axes and sharding annotations;
+XLA inserts the collectives (psum over ICI for gradients, ppermute for halo
+exchange in spatial tiling).
+
+Axes:
+  * ``data``    — batch data parallelism (gradient all-reduce rides ICI).
+  * ``spatial`` — image-height sharding for full-resolution tiled inference
+                  (halo exchange + psum'd channel-attention grams).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisNames:
+    data: str = "data"
+    spatial: str = "spatial"
+
+
+AXES = AxisNames()
+
+
+def create_mesh(
+    data: int = -1,
+    spatial: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, spatial) mesh.
+
+    ``data=-1`` consumes all remaining devices. The mesh is laid out so that
+    the ``spatial`` axis (which carries halo ppermutes every conv layer) maps
+    to mesh-adjacent devices.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        if n % spatial != 0:
+            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+        data = n // spatial
+    if data * spatial > n:
+        raise ValueError(f"mesh {data}x{spatial} needs {data * spatial} devices, have {n}")
+    dev_array = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(dev_array, (AXES.data, AXES.spatial))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard leading (batch) dim over ``data``; replicate the rest."""
+    spec = P(AXES.data, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

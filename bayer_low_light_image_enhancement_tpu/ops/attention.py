@@ -1,0 +1,87 @@
+"""Restormer-style transposed (channel) attention — the RawFormer hot op.
+
+Reference: ``/root/reference/RawFomer_WFB_FFAB/model.py:338-370`` and
+``/root/reference/model.py:56-79``. Attention is computed over the *channel*
+axis: q,k,v are reshaped to [B, heads, c, N] (N = H*W tokens, c = C/heads),
+q and k are L2-normalised along tokens, and the attention map ``q @ k^T`` is
+only [c, c] — O(C^2 * N) total, never O(N^2). The two matmuls are long
+contractions over N, which map well onto the MXU as batched dots.
+
+Spatial sharding: every reduction over tokens (the L2 norms and the gram
+matrix) is global over the image, so under an H-sharded ``shard_map`` they
+become local partials + ``psum`` over the spatial axis. ``attn @ v`` and the
+softmax are then purely local. This makes tiled full-resolution inference
+numerically identical to the monolithic reference path.
+
+All accumulation is fp32 (``preferred_element_type``) even in bf16 compute.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def channel_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    temperature: jnp.ndarray,
+    num_heads: int,
+    spatial_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """q, k, v: [B, H, W, C] (post qkv+depthwise convs). Returns [B, H, W, C].
+
+    ``temperature``: per-head scale, shape [heads] (reference keeps it as
+    [heads,1,1]; broadcast is identical).
+    """
+    b, h, w, c = q.shape
+    ch = c // num_heads
+    n = h * w
+
+    def heads_first(t):
+        # [B,H,W,C] -> [B, heads, c_per_head, N]; channel splits head-major to
+        # match torch's  'b (head c) h w -> b head c (h w)'.
+        return t.reshape(b, n, num_heads, ch).transpose(0, 2, 3, 1)
+
+    qh, kh, vh = heads_first(q), heads_first(k), heads_first(v)
+
+    # L2 normalise along tokens (global over the image).
+    def l2norm(t):
+        sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1, keepdims=True)
+        if spatial_axis is not None:
+            sq = lax.psum(sq, spatial_axis)
+        return t * lax.rsqrt(jnp.maximum(sq, 1e-24)).astype(t.dtype)
+
+    qh = l2norm(qh)
+    kh = l2norm(kh)
+
+    # Gram matrix over all tokens: [B, heads, c, c]. The contraction runs
+    # over N ~ 1e5 tokens, so accumulate in fp32 (cast the tiny q/k reads up
+    # — the gram itself is negligible compute next to the convs).
+    attn = lax.dot_general(
+        qh.astype(jnp.float32),
+        kh.astype(jnp.float32),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+    )
+    if spatial_axis is not None:
+        attn = lax.psum(attn, spatial_axis)
+    attn = attn * temperature.reshape(1, num_heads, 1, 1).astype(jnp.float32)
+    attn = _softmax_f32(attn)
+
+    out = lax.dot_general(
+        attn.astype(vh.dtype),
+        vh,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+    ).astype(v.dtype)
+    # [B, heads, c, N] -> [B, H, W, C]
+    out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+    return out
+
+
+def _softmax_f32(x: jnp.ndarray) -> jnp.ndarray:
+    x = x - lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
+    e = jnp.exp(x)
+    return e / jnp.sum(e, axis=-1, keepdims=True)

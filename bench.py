@@ -1,0 +1,87 @@
+"""Headline benchmark: RawFormer-S RAW->RGB inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: batched 512x512 crops (the reference's training/eval patch size,
+``/root/reference/train.py:35``), bf16 compute, steady-state steps after
+warmup, megapixels of RAW input processed per second per chip.
+
+``vs_baseline``: the reference publishes no throughput numbers (BASELINE.md),
+so the baseline is the driver's north-star target of 5x an A100 running the
+reference PyTorch stack. A100 reference throughput is estimated from the
+model's FLOP count at 312 TFLOP/s fp16 peak and a measured-typical 15% MFU
+for this kind of small-channel eager conv model:
+  a100_mps = 312e12 * 0.15 / flops_per_megapixel
+vs_baseline = our_mps / (5 * a100_mps). Assumptions are printed to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bayer_low_light_image_enhancement_tpu.models.rawformer import (
+        RawFormer,
+        RawFormerConfig,
+    )
+
+    cfg = RawFormerConfig.from_size("S", dtype=jnp.bfloat16)
+    model = RawFormer(cfg)
+
+    batch, h, w = 8, 512, 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, h, w, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:1, :64, :64])
+
+    fwd = jax.jit(model.apply)
+
+    # FLOP count from XLA's own cost analysis (fp32 lowering of one image).
+    try:
+        cost = jax.jit(model.apply).lower(params, x[:1]).compile().cost_analysis()
+        flops_per_image = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_image = 0.0
+
+    # Warmup / compile.
+    fwd(params, x).block_until_ready()
+
+    steps = 20
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        y = fwd(params, x)
+    y.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    mp = batch * h * w / 1e6
+    mps = mp * steps / dt
+
+    flops_per_mp = (flops_per_image / (h * w / 1e6)) if flops_per_image else 3.5e12
+    a100_mps = 312e12 * 0.15 / flops_per_mp
+    target = 5.0 * a100_mps
+
+    print(
+        f"[bench] {mps:.2f} MP/s/chip, {dt / steps * 1e3:.2f} ms/step "
+        f"(batch {batch} @ {h}x{w}), flops/img={flops_per_image:.3e}, "
+        f"assumed A100 ref={a100_mps:.1f} MP/s, target(5x)={target:.1f} MP/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rawformer_s_inference_throughput",
+                "value": round(mps, 3),
+                "unit": "megapixels/sec/chip",
+                "vs_baseline": round(mps / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Test configuration.
+
+Multi-chip behaviour is tested the TPU way without a pod: 8 virtual CPU
+devices via ``xla_force_host_platform_device_count`` (SURVEY.md §4).
+
+Some environments force-register a live TPU backend from sitecustomize
+before any user code runs (jax is already imported when conftest executes),
+which would (a) run every unit test on the one real chip and (b) make a
+virtual multi-device mesh impossible. The jax.config updates below override
+that at the config level, which works even after import as long as no device
+has been touched yet.
+"""
+
+import os
+import sys
+import types
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # XLA_FLAGS above covers older jax versions
+
+# XLA's fastmath conv/dot defaults (bf16 passes) break torch-parity
+# tolerances; force exact fp32 in tests.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _stub_module(name: str, **attrs):
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
+def add_reference_to_path():
+    """Make the PyTorch reference importable as a parity oracle.
+
+    Stubs the reference's unavailable deps (ptflops, timm, mamba_ssm) with
+    inert placeholders — the components we compare against don't use them at
+    call time.
+    """
+    _stub_module("ptflops", get_model_complexity_info=lambda *a, **k: ("0", "0"))
+    # timm symbols imported at module scope by reference blocks.py but unused
+    # by the blocks under test.
+    _stub_module("timm")
+    _stub_module("timm.models")
+    _stub_module(
+        "timm.models.vision_transformer", VisionTransformer=object, _cfg=lambda **k: {}
+    )
+    _stub_module("timm.models.registry", register_model=lambda f: f)
+    _stub_module(
+        "timm.models.layers",
+        trunc_normal_=lambda *a, **k: None,
+        DropPath=object,
+        to_2tuple=lambda x: (x, x),
+    )
+
+    class _FakeMamba:  # only needed so `from mamba_ssm import Mamba` resolves
+        def __init__(self, *a, **k):
+            raise RuntimeError("mamba_ssm is CUDA-only; not available in tests")
+
+    _stub_module("mamba_ssm", Mamba=_FakeMamba)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    wfb = os.path.join(REFERENCE_ROOT, "RawFomer_WFB_FFAB")
+    if wfb not in sys.path:
+        sys.path.insert(0, wfb)
+
+
+def load_reference_root_model():
+    """Load /root/reference/model.py under a unique name (the WFB directory
+    also has a model.py that would shadow it on sys.path)."""
+    import importlib.util
+
+    add_reference_to_path()
+    spec = importlib.util.spec_from_file_location(
+        "ref_root_model", os.path.join(REFERENCE_ROOT, "model.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
