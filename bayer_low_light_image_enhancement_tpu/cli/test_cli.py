@@ -38,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Evaluate RawFormer on SID/MCR (TPU)")
     p.add_argument("--dataset", default="SID", choices=["SID", "MCR", "synthetic"])
     p.add_argument("--model_size", default="S", choices=["S", "B", "L"])
+    p.add_argument("--model", default=None, help="registry model name; overrides --model_size")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--patch_size", type=int, default=512, help="(synthetic dataset size)")
     p.add_argument("--bayer_pattern", default="RGGB")
@@ -56,21 +57,16 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from bayer_low_light_image_enhancement_tpu.cli.train_cli import build_datasets
-    from bayer_low_light_image_enhancement_tpu.models.rawformer import (
-        RawFormer,
-        RawFormerConfig,
+    from bayer_low_light_image_enhancement_tpu.cli.train_cli import (
+        build_datasets,
+        build_model,
     )
     from bayer_low_light_image_enhancement_tpu.train.metrics import psnr, ssim
     from bayer_low_light_image_enhancement_tpu.utils.logging import MetricsLogger
 
     args = build_parser().parse_args(argv)
     _, val_ds = build_datasets(args)
-
-    cfg = RawFormerConfig.from_size(
-        args.model_size, dtype=jnp.float32 if args.fp32 else jnp.bfloat16
-    )
-    model = RawFormer(cfg)
+    model = build_model(args)
 
     rng = np.random.default_rng(0)
     sample = val_ds.sample(0, rng)
@@ -99,7 +95,7 @@ def main(argv=None):
         restored, step = mgr.restore(template)
         if restored is None:
             raise SystemExit(f"no checkpoint found in {args.ckpt}")
-        params = restored.params
+        params = restored.variables()
         print(f"restored orbax checkpoint step {step}")
 
     fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))

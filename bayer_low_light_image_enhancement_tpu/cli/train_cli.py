@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train RawFormer on SID/MCR (TPU)")
     p.add_argument("--dataset", default="SID", choices=["SID", "MCR", "synthetic"])
     p.add_argument("--model_size", default="S", choices=["S", "B", "L"])
+    p.add_argument(
+        "--model",
+        default=None,
+        help="registry model name (e.g. rawformer_wfb, flca_rawformer); "
+        "overrides --model_size. See list_models().",
+    )
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--patch_size", type=int, default=512)
     p.add_argument("--epochs", type=int, default=3000)
@@ -97,6 +103,17 @@ def build_datasets(args):
     return train, val
 
 
+def build_model(args):
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if getattr(args, "fp32", False) else jnp.bfloat16
+    if getattr(args, "model", None):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+
+        return get_model(args.model, dtype=dtype)
+    return RawFormer(RawFormerConfig.from_size(args.model_size, dtype=dtype))
+
+
 def main(argv=None):
     import jax.numpy as jnp
 
@@ -108,10 +125,7 @@ def main(argv=None):
     steps_per_epoch = max(1, len(train_loader))
 
     mesh = create_mesh(data=args.num_chips)
-    cfg = RawFormerConfig.from_size(
-        args.model_size, dtype=jnp.float32 if args.fp32 else jnp.bfloat16
-    )
-    model = RawFormer(cfg)
+    model = build_model(args)
     trainer = Trainer(
         model,
         TrainConfig(
@@ -153,7 +167,7 @@ def main(argv=None):
             psnrs = []
             for batch in val_loader:
                 inp, gt = batch[0], batch[1]
-                _, per_image = trainer.eval_step(state.params, (inp, gt))
+                _, per_image = trainer.eval_step(state.variables(), (inp, gt))
                 psnrs.extend(np.asarray(per_image).tolist())
             avg_psnr = float(np.mean(psnrs)) if psnrs else np.nan
             if best.update(epoch, avg_psnr):

@@ -1,0 +1,229 @@
+"""Transformer_FLCA_UNet: residual-conv/SE U-Net with token-MHSA bottleneck.
+
+Reference: ``/root/reference/Transformer_FLCA_UNet.py``. Operates on packed
+planes ([B, H, W, 4] -> [B, H, W, 4]): ResBlock(dilation 1/2, scale 0.2) + SE
+stages, an avg-pool frequency-split FLCA per encoder stage, a token
+self-attention transformer only at the bottleneck (res_scale 0.2), and a
+global residual when in/out channels match.
+
+This family is the repo's only *token* (O(N^2)) attention user — applied at
+1/8 resolution where N is small enough for the MXU to eat it whole.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bayer_low_light_image_enhancement_tpu.models.common import Conv2d, torch_uniform_init
+from bayer_low_light_image_enhancement_tpu.models.registry import register_model
+from bayer_low_light_image_enhancement_tpu.ops.conv import global_mean
+from bayer_low_light_image_enhancement_tpu.ops.flca import SqueezeExcite, resize_bilinear
+from bayer_low_light_image_enhancement_tpu.ops.luma import bayer_luma_chroma
+
+Dtype = Any
+
+
+def frequency_split(x: jnp.ndarray, kernel_size: int = 3):
+    """low = 3x3 avg pool (stride 1, same), high = x - low (reference :31-36)."""
+    c = x.shape[-1]
+    k = jnp.full((kernel_size, kernel_size, 1, 1), 1.0 / (kernel_size**2), x.dtype)
+    k = jnp.tile(k, (1, 1, 1, c))
+    low = lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return low, x - low
+
+
+class PoolFLCA(nn.Module):
+    """FLCA with avg-pool frequency split (reference :40-89)."""
+
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, y, cr, cb):
+        _, h, w, c = feat.shape
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        y = resize_bilinear(y, h, w).astype(self.dtype)
+        cr = resize_bilinear(cr, h, w).astype(self.dtype)
+        cb = resize_bilinear(cb, h, w).astype(self.dtype)
+        y_low, y_high = frequency_split(y)
+        a_low = jax.nn.sigmoid(
+            Conv2d(c, 3, use_bias=False, name="low_attn", **kw)(y_low).astype(jnp.float32)
+        ).astype(self.dtype)
+        a_high = jnp.tanh(
+            Conv2d(c, 3, use_bias=False, name="high_attn", **kw)(y_high).astype(jnp.float32)
+        ).astype(self.dtype)
+        a_chr = jax.nn.sigmoid(
+            Conv2d(c, 3, use_bias=False, name="chroma_attn", **kw)(
+                jnp.concatenate([cr, cb], axis=-1)
+            ).astype(jnp.float32)
+        ).astype(self.dtype)
+        alpha = self.param("alpha", nn.initializers.ones, (), self.param_dtype)
+        beta = self.param("beta", nn.initializers.ones, (), self.param_dtype)
+        gamma = self.param("gamma", nn.initializers.ones, (), self.param_dtype)
+        x = feat * (1.0 + alpha * a_low + beta * a_high + gamma * a_chr).astype(feat.dtype)
+        se = SqueezeExcite(name="se", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return x * se
+
+
+class ResBlock(nn.Module):
+    dilation: int = 1
+    residual_scale: float = 0.2
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        # conv 3x3 (dilated) -> GELU -> conv 3x3, scaled residual.
+        kernel1 = self.param(
+            "conv1_kernel", torch_uniform_init(c * 9), (3, 3, c, c), self.param_dtype
+        )
+        bias1 = self.param("conv1_bias", torch_uniform_init(c * 9), (c,), self.param_dtype)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), kernel1.astype(self.dtype), (1, 1), "SAME",
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias1.astype(self.dtype)
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(self.dtype)
+        y = Conv2d(c, 3, name="conv2", dtype=self.dtype, param_dtype=self.param_dtype)(y)
+        return x + y * self.residual_scale
+
+
+class ResCA(nn.Module):
+    dilation: int = 1
+    residual_scale: float = 0.2
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = ResBlock(dilation=self.dilation, residual_scale=self.residual_scale, name="rb", **kw)(x)
+        se = SqueezeExcite(name="se", **kw)(x)
+        return x * se + x  # residual-on-residual (reference :124)
+
+
+class TokenTransformerBlock(nn.Module):
+    """Token MHSA + MLP with 0.2 residual scale (reference :130-150)."""
+
+    num_heads: int = 4
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        t = x.reshape(b, h * w, c)
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln1")
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln2")
+        tn = ln1(t.astype(jnp.float32)).astype(self.dtype)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=c,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
+        )(tn, tn)
+        t = t + attn * 0.2
+        tn = ln2(t.astype(jnp.float32)).astype(self.dtype)
+        hdim = int(c * self.mlp_ratio)
+        m = nn.Dense(hdim, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp1")(tn)
+        m = jax.nn.gelu(m.astype(jnp.float32), approximate=False).astype(self.dtype)
+        m = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp2")(m)
+        t = t + m * 0.2
+        return t.reshape(b, h, w, c)
+
+
+class EncoderStage(nn.Module):
+    out_ch: int
+    num_blocks: int = 3
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, cr, cb):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = Conv2d(self.out_ch, 3, name="in_conv", **kw)(x)
+        for i in range(self.num_blocks):
+            x = ResCA(dilation=1 if i % 2 == 0 else 2, name=f"block{i}", **kw)(x)
+        x = PoolFLCA(name="flca", **kw)(x, y, cr, cb)
+        skip = x
+        x = Conv2d(self.out_ch, 3, stride=2, name="down", **kw)(x)
+        return x, skip
+
+
+class DecoderStage(nn.Module):
+    out_ch: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        from bayer_low_light_image_enhancement_tpu.models.common import Upsample2x
+
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = Upsample2x(self.out_ch, name="up", **kw)(x)
+        if x.shape[1:3] != skip.shape[1:3]:
+            x = resize_bilinear(x, skip.shape[1], skip.shape[2])
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = Conv2d(self.out_ch, 3, name="fuse_conv", **kw)(x)
+        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(self.dtype)
+        x = ResCA(dilation=1, name="resca1", **kw)(x)
+        x = ResCA(dilation=2, name="resca2", **kw)(x)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class FLCAUNetConfig:
+    in_ch: int = 4
+    out_ch: int = 4
+    base: int = 48
+    blocks: Tuple[int, int, int] = (3, 3, 3)
+    heads: int = 4
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+
+class TransformerFLCAUNet(nn.Module):
+    config: FLCAUNetConfig = FLCAUNetConfig()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x = x.astype(cfg.dtype)
+        y, cr, cb = bayer_luma_chroma(x.astype(jnp.float32))
+        y, cr, cb = (t.astype(cfg.dtype) for t in (y, cr, cb))
+
+        x1, s1 = EncoderStage(cfg.base, cfg.blocks[0], name="enc1", **kw)(x, y, cr, cb)
+        x2, s2 = EncoderStage(cfg.base * 2, cfg.blocks[1], name="enc2", **kw)(x1, y, cr, cb)
+        x3, s3 = EncoderStage(cfg.base * 4, cfg.blocks[2], name="enc3", **kw)(x2, y, cr, cb)
+
+        b = Conv2d(cfg.base * 4, 3, stride=2, name="down_bott", **kw)(x3)
+        b = TokenTransformerBlock(num_heads=cfg.heads, name="trans", **kw)(b)
+        from bayer_low_light_image_enhancement_tpu.models.common import Upsample2x
+
+        b = Upsample2x(cfg.base * 4, name="up_bott", **kw)(b)
+        if b.shape[1:3] != x3.shape[1:3]:
+            b = resize_bilinear(b, x3.shape[1], x3.shape[2])
+
+        d3 = DecoderStage(cfg.base * 4, name="dec3", **kw)(b, s3)
+        d2 = DecoderStage(cfg.base * 2, name="dec2", **kw)(d3, s2)
+        d1 = DecoderStage(cfg.base, name="dec1", **kw)(d2, s1)
+
+        out = Conv2d(cfg.base // 2, 3, name="tail_conv", **kw)(d1)
+        out = jax.nn.gelu(out.astype(jnp.float32), approximate=False).astype(cfg.dtype)
+        out = Conv2d(cfg.out_ch, 1, name="tail_out", **kw)(out)
+        if cfg.in_ch == cfg.out_ch:
+            out = out + x
+        return out.astype(jnp.float32)
+
+
+register_model("flca_unet", lambda **kw: TransformerFLCAUNet(FLCAUNetConfig(**kw)))

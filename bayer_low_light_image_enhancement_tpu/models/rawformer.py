@@ -58,7 +58,7 @@ class RawFormer(nn.Module):
     config: RawFormerConfig = RawFormerConfig()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype, spatial_axis=cfg.spatial_axis)
 

@@ -1,0 +1,178 @@
+"""Selective state-space (Mamba-style) sequence op, TPU-native.
+
+The reference's WM block wraps two ``mamba_ssm.Mamba`` modules whose selective
+scan is a custom CUDA kernel (``/root/reference/RawFomer_WFB_FFAB/model.py:
+146-172``; SURVEY.md §2.4 N1). On TPU the recurrence
+
+    h_t = exp(dt_t * A) * h_{t-1} + dt_t * B_t * x_t
+    y_t = C_t . h_t + D * x_t
+
+is evaluated with ``jax.lax.associative_scan`` over the composition monoid
+(a2, b2) o (a1, b1) = (a1*a2, a2*b1 + b2) — log-depth, fully parallel, maps
+onto the VPU; a fused Pallas kernel lives in ``kernels/ssm_scan.py``.
+
+The surrounding Mamba block (in_proj -> causal depthwise conv1d -> SiLU ->
+(dt, B, C) projections -> scan -> gate -> out_proj) reproduces mamba_ssm's
+architecture (d_state=32, d_conv=4, expand) so reference configurations carry
+over; token order is the row-major pixel order the reference uses
+(``model.py:168`` reshapes [B,C,H,W] -> [B, H*W, C]).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def selective_scan(
+    u: jnp.ndarray,      # [B, L, D]  input sequence
+    delta: jnp.ndarray,  # [B, L, D]  positive step sizes
+    A: jnp.ndarray,      # [D, N]     state matrix (negative real)
+    B: jnp.ndarray,      # [B, L, N]  input->state projection (selective)
+    C: jnp.ndarray,      # [B, L, N]  state->output projection (selective)
+    D: Optional[jnp.ndarray] = None,  # [D] skip connection
+) -> jnp.ndarray:
+    """Parallel selective scan. Returns y [B, L, D].
+
+    All recurrence math in fp32 for stability (exp of dt*A), result cast back
+    to u.dtype.
+    """
+    dtype_in = u.dtype
+    uf = u.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    Af = A.astype(jnp.float32)
+    Bf = B.astype(jnp.float32)
+    Cf = C.astype(jnp.float32)
+
+    # Discretise: a = exp(dt * A): [B, L, D, N]; b = dt * B * u: [B, L, D, N]
+    dA = jnp.einsum("bld,dn->bldn", delta, Af)
+    a = jnp.exp(dA)
+    b = (delta * uf)[..., None] * Bf[:, :, None, :]
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (a, b), axis=1)
+    y = jnp.einsum("bldn,bln->bld", h, Cf)
+    if D is not None:
+        y = y + uf * D.astype(jnp.float32)
+    return y.astype(dtype_in)
+
+
+def selective_scan_ref(u, delta, A, B, C, D=None):
+    """Sequential reference (lax.scan) for correctness tests."""
+    uf = u.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+
+    def step(h, inputs):
+        u_t, dt_t, B_t, C_t = inputs
+        a = jnp.exp(jnp.einsum("bd,dn->bdn", dt_t, A.astype(jnp.float32)))
+        h = a * h + (dt_t * u_t)[..., None] * B_t[:, None, :]
+        y = jnp.einsum("bdn,bn->bd", h, C_t)
+        return h, y
+
+    bsz, L, d = u.shape
+    n = A.shape[1]
+    h0 = jnp.zeros((bsz, d, n), jnp.float32)
+    xs = (
+        jnp.moveaxis(uf, 1, 0),
+        jnp.moveaxis(delta, 1, 0),
+        jnp.moveaxis(B.astype(jnp.float32), 1, 0),
+        jnp.moveaxis(C.astype(jnp.float32), 1, 0),
+    )
+    _, ys = jax.lax.scan(step, h0, xs)
+    y = jnp.moveaxis(ys, 0, 1)
+    if D is not None:
+        y = y + uf * D.astype(jnp.float32)
+    return y.astype(u.dtype)
+
+
+class MambaBlock(nn.Module):
+    """Mamba layer matching mamba_ssm's architecture hyperparameters.
+
+    d_model: feature dim; d_state: SSM state size; d_conv: causal conv width;
+    expand: inner expansion factor.
+    """
+
+    d_model: int
+    d_state: int = 32
+    d_conv: int = 4
+    expand: int = 2
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, L, D] -> [B, L, D]."""
+        d_inner = self.expand * self.d_model
+        dt_rank = max(1, self.d_model // 16)  # mamba default ceil(d_model/16)
+
+        xz = nn.Dense(
+            2 * d_inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="in_proj",
+        )(x.astype(self.dtype))
+        xi, z = jnp.split(xz, 2, axis=-1)
+
+        # Causal depthwise conv over the token axis (width d_conv).
+        conv_kernel = self.param(
+            "conv1d_kernel",
+            nn.initializers.lecun_normal(),
+            (self.d_conv, 1, d_inner),
+            self.param_dtype,
+        )
+        conv_bias = self.param(
+            "conv1d_bias", nn.initializers.zeros, (d_inner,), self.param_dtype
+        )
+        xpad = jnp.pad(xi, ((0, 0), (self.d_conv - 1, 0), (0, 0)))
+        xc = jax.lax.conv_general_dilated(
+            xpad,
+            conv_kernel.astype(xi.dtype),
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NLC", "LIO", "NLC"),
+            feature_group_count=d_inner,
+        ) + conv_bias.astype(xi.dtype)
+        xc = jax.nn.silu(xc)
+
+        # Selective projections.
+        x_dbl = nn.Dense(
+            dt_rank + 2 * self.d_state, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="x_proj",
+        )(xc)
+        dt, B, C = jnp.split(x_dbl, [dt_rank, dt_rank + self.d_state], axis=-1)
+        dt = nn.Dense(
+            d_inner, dtype=self.dtype, param_dtype=self.param_dtype, name="dt_proj"
+        )(dt)
+        dt = jax.nn.softplus(dt)
+
+        # A: negative-real init log-spaced 1..d_state (mamba's S4D-real init).
+        A_log = self.param(
+            "A_log",
+            lambda key, shape, dtype: jnp.log(
+                jnp.tile(jnp.arange(1, self.d_state + 1, dtype=dtype)[None], (d_inner, 1))
+            ),
+            (d_inner, self.d_state),
+            jnp.float32,
+        )
+        A = -jnp.exp(A_log)
+        Dskip = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
+
+        if self.use_pallas:
+            from bayer_low_light_image_enhancement_tpu.kernels.ssm_scan import (
+                selective_scan_pallas,
+            )
+
+            y = selective_scan_pallas(xc, dt, A, B, C, Dskip)
+        else:
+            y = selective_scan(xc, dt, A, B, C, Dskip)
+        y = y * jax.nn.silu(z)
+        return nn.Dense(
+            self.d_model, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="out_proj",
+        )(y)

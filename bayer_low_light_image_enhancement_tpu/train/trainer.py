@@ -9,19 +9,21 @@ program with donated state — no host round-trips inside the epoch loop.
 
 bf16 compute / fp32 params replaces CUDA AMP + GradScaler (bf16 needs no loss
 scaling). Eval computes PSNR on-device using the reference's uint8 protocol.
+
+Models are called as ``model.apply(vars, x, train=...)``; models carrying
+BatchNorm running stats (the WFB rep-conv family) expose a ``batch_stats``
+collection which the train step threads through as mutable state.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bayer_low_light_image_enhancement_tpu.core.mesh import AXES
@@ -33,15 +35,24 @@ from bayer_low_light_image_enhancement_tpu.train.schedule import warmup_cosine_s
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
+    batch_stats: Any  # {} for models without BatchNorm
     opt_state: Any
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+    def create(cls, variables, tx: optax.GradientTransformation) -> "TrainState":
+        params = variables["params"]
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
+            batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(params),
         )
+
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,26 +109,41 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init(self, rng, sample_input) -> TrainState:
-        params = self.model.init(rng, sample_input)
-        state = TrainState.create(params, self.tx)
+        variables = self.model.init(rng, sample_input, train=False)
+        state = TrainState.create(variables, self.tx)
         if self.mesh is not None:
             state = jax.device_put(state, self._replicated)
         return state
 
     # ------------------------------------------------------------------
-    def _loss(self, params, batch) -> jnp.ndarray:
-        inp, gt = batch
-        pred = self.model.apply(params, inp)
-        pred = jnp.clip(pred, 0.0, 1.0)  # train.py:139 clamps before loss
-        return self.loss_fn(pred, gt)
-
     def _build_train_step(self):
         def step_fn(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
-            loss, grads = jax.value_and_grad(self._loss)(state.params, batch)
+            inp, gt = batch
+            has_bn = bool(state.batch_stats)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                    pred, mut = self.model.apply(
+                        variables, inp, train=True, mutable=["batch_stats"]
+                    )
+                else:
+                    pred = self.model.apply(variables, inp, train=True)
+                    mut = {}
+                pred = jnp.clip(pred, 0.0, 1.0)  # train.py:139 clamps pre-loss
+                return self.loss_fn(pred, gt), mut
+
+            (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return (
-                state.replace(step=state.step + 1, params=new_params, opt_state=new_opt),
+                state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=mut.get("batch_stats", state.batch_stats),
+                    opt_state=new_opt,
+                ),
                 loss,
             )
 
@@ -131,9 +157,9 @@ class Trainer:
         return jax.jit(step_fn, **kwargs)
 
     def _build_eval_step(self):
-        def eval_fn(params, batch):
+        def eval_fn(variables, batch):
             inp, gt = batch
-            pred = jnp.clip(self.model.apply(params, inp), 0.0, 1.0)
+            pred = jnp.clip(self.model.apply(variables, inp, train=False), 0.0, 1.0)
             # Per-image PSNR on the uint8 grid, like the reference val loop.
             per_image = jax.vmap(psnr_uint8)(pred, gt)
             return pred, per_image
@@ -145,6 +171,9 @@ class Trainer:
                 (self._batch_sharding, self._batch_sharding),
             )
         return jax.jit(eval_fn, **kwargs)
+
+    def eval_variables(self, state: TrainState):
+        return state.variables()
 
     # ------------------------------------------------------------------
     def shard_batch(self, batch):

@@ -39,8 +39,6 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (batch, h, w, 1)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x[:1, :64, :64])
 
-    fwd = jax.jit(model.apply)
-
     # FLOP count from XLA's own cost analysis (fp32 lowering of one image).
     try:
         cost = jax.jit(model.apply).lower(params, x[:1]).compile().cost_analysis()
@@ -48,15 +46,31 @@ def main():
     except Exception:
         flops_per_image = 0.0
 
-    # Warmup / compile.
-    fwd(params, x).block_until_ready()
+    # Device-side loop: remote/tunneled backends can acknowledge dispatches
+    # before execution finishes, so host-side per-call timing lies. A
+    # lax.scan with a carried data dependency forces sequential execution
+    # of `steps` forwards inside ONE dispatch; wall time / steps is honest
+    # up to a single dispatch overhead.
+    steps = 50
 
-    steps = 20
+    @jax.jit
+    def run_n(params, x):
+        def body(carry, _):
+            y = model.apply(params, carry)
+            # Feed a cheap function of the output back in to serialise steps.
+            nxt = x + jnp.mean(y, axis=-1, keepdims=True) * 1e-6
+            return nxt, ()
+
+        final, _ = jax.lax.scan(body, x, None, length=steps)
+        return jnp.sum(final)
+
+    float(run_n(params, x))  # warmup/compile
+
     t0 = time.perf_counter()
-    for _ in range(steps):
-        y = fwd(params, x)
-    y.block_until_ready()
-    dt = time.perf_counter() - t0
+    reps = 3
+    for _ in range(reps):
+        s = float(run_n(params, x))
+    dt = (time.perf_counter() - t0) / reps
 
     mp = batch * h * w / 1e6
     mps = mp * steps / dt

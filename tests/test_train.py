@@ -133,7 +133,7 @@ class TestTrainer:
 
     def test_eval_step_psnr_shape(self, tiny):
         trainer, state, x, y = tiny
-        pred, per_image = trainer.eval_step(state.params, (x, y))
+        pred, per_image = trainer.eval_step(state.variables(), (x, y))
         assert pred.shape == y.shape
         assert per_image.shape == (2,)
         assert np.all(np.isfinite(np.asarray(per_image)))
