@@ -19,6 +19,13 @@ from bayer_low_light_image_enhancement_tpu.models import (  # noqa: F401
 )
 from bayer_low_light_image_enhancement_tpu.models import truecolor as _truecolor  # noqa: F401
 from bayer_low_light_image_enhancement_tpu.models import flca_unet as _flca_unet  # noqa: F401
+from bayer_low_light_image_enhancement_tpu.models import wavkan as _wavkan  # noqa: F401
+from bayer_low_light_image_enhancement_tpu.models import (  # noqa: F401
+    luma_variants as _luma_variants,
+)
+from bayer_low_light_image_enhancement_tpu.models import (  # noqa: F401
+    lumachroma_transformer as _lumachroma,
+)
 
 __all__ = [
     "get_model",

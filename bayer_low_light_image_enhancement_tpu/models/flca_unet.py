@@ -144,6 +144,7 @@ class TokenTransformerBlock(nn.Module):
 class EncoderStage(nn.Module):
     out_ch: int
     num_blocks: int = 3
+    guidance: str = "pool"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -153,7 +154,12 @@ class EncoderStage(nn.Module):
         x = Conv2d(self.out_ch, 3, name="in_conv", **kw)(x)
         for i in range(self.num_blocks):
             x = ResCA(dilation=1 if i % 2 == 0 else 2, name=f"block{i}", **kw)(x)
-        x = PoolFLCA(name="flca", **kw)(x, y, cr, cb)
+        if self.guidance == "dwt":
+            from bayer_low_light_image_enhancement_tpu.ops.flca import FLCA
+
+            x = FLCA(name="flca", **kw)(x, y, cr, cb)
+        else:
+            x = PoolFLCA(name="flca", **kw)(x, y, cr, cb)
         skip = x
         x = Conv2d(self.out_ch, 3, stride=2, name="down", **kw)(x)
         return x, skip
@@ -187,6 +193,10 @@ class FLCAUNetConfig:
     base: int = 48
     blocks: Tuple[int, int, int] = (3, 3, 3)
     heads: int = 4
+    # 'pool' = avg-pool frequency split (Transformer_FLCA_UNet.py);
+    # 'dwt'  = Haar-DWT guidance (UnetLummaDWT.py) with an enhTail input
+    #          branch replacing the identity global residual.
+    guidance: str = "pool"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -202,9 +212,10 @@ class TransformerFLCAUNet(nn.Module):
         y, cr, cb = bayer_luma_chroma(x.astype(jnp.float32))
         y, cr, cb = (t.astype(cfg.dtype) for t in (y, cr, cb))
 
-        x1, s1 = EncoderStage(cfg.base, cfg.blocks[0], name="enc1", **kw)(x, y, cr, cb)
-        x2, s2 = EncoderStage(cfg.base * 2, cfg.blocks[1], name="enc2", **kw)(x1, y, cr, cb)
-        x3, s3 = EncoderStage(cfg.base * 4, cfg.blocks[2], name="enc3", **kw)(x2, y, cr, cb)
+        g = cfg.guidance
+        x1, s1 = EncoderStage(cfg.base, cfg.blocks[0], g, name="enc1", **kw)(x, y, cr, cb)
+        x2, s2 = EncoderStage(cfg.base * 2, cfg.blocks[1], g, name="enc2", **kw)(x1, y, cr, cb)
+        x3, s3 = EncoderStage(cfg.base * 4, cfg.blocks[2], g, name="enc3", **kw)(x2, y, cr, cb)
 
         b = Conv2d(cfg.base * 4, 3, stride=2, name="down_bott", **kw)(x3)
         b = TokenTransformerBlock(num_heads=cfg.heads, name="trans", **kw)(b)
@@ -221,9 +232,19 @@ class TransformerFLCAUNet(nn.Module):
         out = Conv2d(cfg.base // 2, 3, name="tail_conv", **kw)(d1)
         out = jax.nn.gelu(out.astype(jnp.float32), approximate=False).astype(cfg.dtype)
         out = Conv2d(cfg.out_ch, 1, name="tail_out", **kw)(out)
-        if cfg.in_ch == cfg.out_ch:
+        if cfg.guidance == "dwt":
+            # UnetLummaDWT.py:278-283: learned enhancement branch from the
+            # input replaces the identity residual.
+            enh = Conv2d(cfg.base // 2, 3, name="enh_conv", **kw)(x)
+            enh = jax.nn.gelu(enh.astype(jnp.float32), approximate=False).astype(cfg.dtype)
+            out = out + Conv2d(cfg.out_ch, 1, name="enh_out", **kw)(enh)
+        elif cfg.in_ch == cfg.out_ch:
             out = out + x
         return out.astype(jnp.float32)
 
 
 register_model("flca_unet", lambda **kw: TransformerFLCAUNet(FLCAUNetConfig(**kw)))
+register_model(
+    "unet_luma_dwt",
+    lambda **kw: TransformerFLCAUNet(FLCAUNetConfig(guidance="dwt", **kw)),
+)

@@ -1,0 +1,200 @@
+"""WavKAN-RawFormer: Kolmogorov-Arnold layers with learnable wavelets.
+
+Reference: ``/root/reference/kan_model.py``. ``KANLinear`` computes, per
+(out, in) pair, a learnable-wavelet feature ``psi((x - t) / s)`` (mexican_hat
+/ morlet / dog) weighted and summed over inputs, added to a plain linear
+term, then BatchNorm over features (``kan_model.py:40-102``). The attention /
+FFN / ConvTransformer / U-Net skeleton mirrors the canonical RawFormer with
+KAN layers replacing the pointwise convs.
+
+Deviation (SURVEY.md §7): the reference decoder constructor passes channel
+counts as head counts (``kan_model.py:203-205``); we use the encoder's head
+schedule instead.
+
+TPU note: the wavelet term is an [N, out, in] elementwise tensor contracted
+over ``in`` — expressed as one einsum so XLA fuses psi() into the
+contraction (VPU) and the linear term rides the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bayer_low_light_image_enhancement_tpu.models.common import (
+    Conv2d,
+    LayerNorm2d,
+    Upsample2x,
+    torch_uniform_init,
+)
+from bayer_low_light_image_enhancement_tpu.models.registry import register_model
+from bayer_low_light_image_enhancement_tpu.ops.attention import channel_attention
+from bayer_low_light_image_enhancement_tpu.ops.conv import leaky_relu
+from bayer_low_light_image_enhancement_tpu.ops.shuffle import depth_to_space, space_to_depth
+
+Dtype = Any
+
+
+def wavelet_basis(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "mexican_hat":
+        return (2.0 / (math.sqrt(3.0) * math.pi**0.25)) * (x * x - 1.0) * jnp.exp(-0.5 * x * x)
+    if kind == "morlet":
+        return jnp.exp(-0.5 * x * x) * jnp.cos(5.0 * x)
+    if kind == "dog":
+        return -x * jnp.exp(-0.5 * x * x)
+    raise ValueError(f"unsupported wavelet type {kind!r}")
+
+
+class KANLinear(nn.Module):
+    features: int
+    wavelet_type: str = "mexican_hat"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: [..., in_features] -> [..., features]."""
+        in_f = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (self.features, in_f), self.param_dtype)
+        translation = self.param(
+            "translation", nn.initializers.zeros, (self.features, in_f), self.param_dtype
+        )
+        wavelet_w = self.param(
+            "wavelet_weights", torch_uniform_init(in_f), (self.features, in_f), self.param_dtype
+        )
+        weight = self.param(
+            "weight", torch_uniform_init(in_f), (self.features, in_f), self.param_dtype
+        )
+
+        xf = x.astype(jnp.float32)
+        xs = (xf[..., None, :] - translation) / scale  # [..., out, in]
+        wav = jnp.sum(wavelet_basis(xs, self.wavelet_type) * wavelet_w, axis=-1)
+        lin = xf @ weight.T
+        combined = (wav + lin).astype(self.dtype)
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="bn",
+        )(combined).astype(self.dtype)
+
+
+class KANAttention(nn.Module):
+    num_heads: int = 8
+    wavelet_type: str = "mexican_hat"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dim = x.shape[-1]
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        qkv = KANLinear(dim * 3, self.wavelet_type, name="qkv_kan", **kw)(x, train)
+        qkv = Conv2d(dim * 3, 3, groups=dim * 3, name="qkv_dwconv", **kw)(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_heads,), self.param_dtype
+        )
+        out = channel_attention(q, k, v, temperature, self.num_heads)
+        return KANLinear(dim, self.wavelet_type, name="proj", **kw)(out, train)
+
+
+class KANFFN(nn.Module):
+    expansion: int = 4
+    wavelet_type: str = "mexican_hat"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dim = x.shape[-1]
+        hidden = dim * self.expansion
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = KANLinear(hidden, self.wavelet_type, name="kan1", **kw)(x, train)
+        x = Conv2d(hidden, 3, groups=hidden, name="dwconv", **kw)(x)
+        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(self.dtype)
+        return KANLinear(dim, self.wavelet_type, name="kan2", **kw)(x, train)
+
+
+class KANConvTransformer(nn.Module):
+    num_heads: int = 8
+    ffn_expansion: int = 2
+    wavelet_type: str = "mexican_hat"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dim = x.shape[-1]
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        conv = Conv2d(dim, 3, name="conv", **kw)(x)
+        t = x
+        t = t + KANAttention(
+            num_heads=self.num_heads, wavelet_type=self.wavelet_type, name="attn", **kw
+        )(LayerNorm2d(name="norm1", param_dtype=self.param_dtype)(t).astype(self.dtype), train)
+        t = t + KANFFN(
+            expansion=self.ffn_expansion, wavelet_type=self.wavelet_type, name="ffn", **kw
+        )(LayerNorm2d(name="norm2", param_dtype=self.param_dtype)(t).astype(self.dtype), train)
+        y = jnp.concatenate([conv, t], axis=-1)
+        y = KANLinear(dim, self.wavelet_type, name="reduce", **kw)(y, train)
+        return leaky_relu(Conv2d(dim, 3, name="out_conv", **kw)(y), 0.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class WavKANConfig:
+    in_ch: int = 1
+    out_ch: int = 3
+    dim: int = 48
+    num_heads: Tuple[int, int, int, int] = (8, 16, 32, 32)
+    ffn_expansion: int = 2
+    wavelet_type: str = "mexican_hat"
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+
+class WavKANRawFormer(nn.Module):
+    """kan_model.py:181-236 skeleton (pre-block skips, see module doc)."""
+
+    config: WavKANConfig = WavKANConfig()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+
+        def stage(heads, name):
+            return KANConvTransformer(
+                num_heads=heads, ffn_expansion=cfg.ffn_expansion,
+                wavelet_type=cfg.wavelet_type, name=name, **kw,
+            )
+
+        x = x.astype(cfg.dtype)
+        x = space_to_depth(x, 2)
+        x = Conv2d(cfg.dim, 3, name="embed", **kw)(x)
+
+        features = []
+        for i in range(3):
+            features.append(x)
+            x = stage(cfg.num_heads[i], f"enc{i}")(x, train)
+            x = Conv2d(x.shape[-1] // 2, 3, name=f"down{i}_conv", **kw)(x)
+            x = space_to_depth(x, 2)
+        x = stage(cfg.num_heads[3], "bottleneck")(x, train)
+
+        up_out = (cfg.dim * 4, cfg.dim * 2, cfg.dim)
+        for i in range(3):
+            x = Upsample2x(up_out[i], name=f"up{i}", **kw)(x)
+            x = jnp.concatenate([x, features[-(i + 1)]], axis=-1)
+            x = stage(cfg.num_heads[2 - i], f"dec{i}")(x, train)
+
+        out = leaky_relu(Conv2d(cfg.out_ch * 4, 3, name="out_conv", **kw)(x), 0.2)
+        return depth_to_space(out, 2).astype(jnp.float32)
+
+
+register_model("wavkan_rawformer", lambda **kw: WavKANRawFormer(WavKANConfig(**kw)))

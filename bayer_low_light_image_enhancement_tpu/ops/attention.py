@@ -7,13 +7,20 @@ q and k are L2-normalised along tokens, and the attention map ``q @ k^T`` is
 only [c, c] — O(C^2 * N) total, never O(N^2). The two matmuls are long
 contractions over N, which map well onto the MXU as batched dots.
 
-Spatial sharding: every reduction over tokens (the L2 norms and the gram
-matrix) is global over the image, so under an H-sharded ``shard_map`` they
-become local partials + ``psum`` over the spatial axis. ``attn @ v`` and the
-softmax are then purely local. This makes tiled full-resolution inference
+TPU optimisation: the per-row L2 normalisation is separable out of the gram,
+    normalize(q) @ normalize(k)^T == (q @ k^T) / (|q_i| |k_j|),
+so we compute the raw gram plus two cheap sum-of-squares reductions over the
+same q/k reads and never materialise normalised q/k to HBM — one fused pass
+instead of two elementwise round-trips. This matches torch F.normalize
+(eps 1e-12) exactly in fp32.
+
+Spatial sharding: every reduction over tokens (the sum-of-squares and the
+gram) is global over the image, so under an H-sharded ``shard_map`` they are
+local partials + one fused ``psum`` over the spatial axis. ``attn @ v`` and
+the softmax are then purely local. This makes tiled full-resolution inference
 numerically identical to the monolithic reference path.
 
-All accumulation is fp32 (``preferred_element_type``) even in bf16 compute.
+All token-reductions accumulate in fp32 even in bf16 compute.
 """
 
 from __future__ import annotations
@@ -47,27 +54,23 @@ def channel_attention(
         return t.reshape(b, n, num_heads, ch).transpose(0, 2, 3, 1)
 
     qh, kh, vh = heads_first(q), heads_first(k), heads_first(v)
+    qf = qh.astype(jnp.float32)
+    kf = kh.astype(jnp.float32)
 
-    # L2 normalise along tokens (global over the image).
-    def l2norm(t):
-        sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1, keepdims=True)
-        if spatial_axis is not None:
-            sq = lax.psum(sq, spatial_axis)
-        return t * lax.rsqrt(jnp.maximum(sq, 1e-24)).astype(t.dtype)
+    # Raw gram over all tokens + row sum-of-squares, one pass over q/k.
+    gram = lax.dot_general(
+        qf, kf, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1)))
+    )  # [B, heads, c, c]
+    q_ss = jnp.sum(qf * qf, axis=-1)  # [B, heads, c]
+    k_ss = jnp.sum(kf * kf, axis=-1)
 
-    qh = l2norm(qh)
-    kh = l2norm(kh)
-
-    # Gram matrix over all tokens: [B, heads, c, c]. The contraction runs
-    # over N ~ 1e5 tokens, so accumulate in fp32 (cast the tiny q/k reads up
-    # — the gram itself is negligible compute next to the convs).
-    attn = lax.dot_general(
-        qh.astype(jnp.float32),
-        kh.astype(jnp.float32),
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-    )
     if spatial_axis is not None:
-        attn = lax.psum(attn, spatial_axis)
+        gram, q_ss, k_ss = lax.psum((gram, q_ss, k_ss), spatial_axis)
+
+    # torch F.normalize: x / max(|x|, eps), eps=1e-12.
+    q_inv = 1.0 / jnp.maximum(jnp.sqrt(q_ss), 1e-12)
+    k_inv = 1.0 / jnp.maximum(jnp.sqrt(k_ss), 1e-12)
+    attn = gram * q_inv[..., :, None] * k_inv[..., None, :]
     attn = attn * temperature.reshape(1, num_heads, 1, 1).astype(jnp.float32)
     attn = _softmax_f32(attn)
 

@@ -1,0 +1,145 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh.
+
+The TPU-world "test multi-node without a cluster" mechanism (SURVEY.md §4):
+data-parallel training equivalence and halo-exchange spatial tiling
+equivalence are both checked against single-device ground truth.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from bayer_low_light_image_enhancement_tpu.core.mesh import AXES, create_mesh
+from bayer_low_light_image_enhancement_tpu.models.rawformer import RawFormer, RawFormerConfig
+from bayer_low_light_image_enhancement_tpu.ops.conv import conv2d
+
+RNG = np.random.default_rng(23)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+class TestHaloConv:
+    def test_halo_conv_matches_unsharded(self):
+        mesh = create_mesh(data=1, spatial=8)
+        x = jnp.asarray(RNG.standard_normal((1, 64, 16, 4)).astype(np.float32))
+        w = jnp.asarray(RNG.standard_normal((3, 3, 4, 6)).astype(np.float32))
+        b = jnp.asarray(RNG.standard_normal(6).astype(np.float32))
+
+        expected = conv2d(x, w, b)
+
+        def local(x_l):
+            return conv2d(x_l, w, b, spatial_axis=AXES.spatial)
+
+        sharded = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh,
+                in_specs=P(None, AXES.spatial), out_specs=P(None, AXES.spatial),
+            )
+        )
+        out = sharded(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+    def test_halo_conv_5x5(self):
+        mesh = create_mesh(data=1, spatial=8)
+        x = jnp.asarray(RNG.standard_normal((1, 64, 8, 2)).astype(np.float32))
+        w = jnp.asarray(RNG.standard_normal((5, 5, 2, 2)).astype(np.float32))
+        expected = conv2d(x, w)
+
+        def local(x_l):
+            return conv2d(x_l, w, spatial_axis=AXES.spatial)
+
+        sharded = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh,
+                in_specs=P(None, AXES.spatial), out_specs=P(None, AXES.spatial),
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded(x)), np.asarray(expected), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestShardedAttention:
+    def test_channel_attention_matches_unsharded(self):
+        from bayer_low_light_image_enhancement_tpu.ops.attention import channel_attention
+
+        mesh = create_mesh(data=1, spatial=8)
+        b, h, w, c = 1, 32, 8, 8
+        heads = 2
+        q = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+        k = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+        v = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+        temp = jnp.asarray(RNG.uniform(0.5, 2.0, heads).astype(np.float32))
+
+        expected = channel_attention(q, k, v, temp, heads)
+
+        def local(q_l, k_l, v_l):
+            return channel_attention(q_l, k_l, v_l, temp, heads, spatial_axis=AXES.spatial)
+
+        spec = P(None, AXES.spatial)
+        sharded = jax.jit(
+            jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded(q, k, v)), np.asarray(expected), rtol=2e-4, atol=2e-5
+        )
+
+
+class TestTiledRawFormer:
+    def test_tiled_inference_matches_monolithic(self):
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        mesh = create_mesh(data=1, spatial=8)
+        cfg = RawFormerConfig(dim=8, num_heads=(2, 2, 2, 2))
+        model_mono = RawFormer(cfg)
+        model_tiled = RawFormer(
+            RawFormerConfig(dim=8, num_heads=(2, 2, 2, 2), spatial_axis=AXES.spatial)
+        )
+
+        # 8 shards x 16 rows each.
+        x = jnp.asarray(RNG.uniform(0, 1, (1, 128, 32, 1)).astype(np.float32))
+        variables = model_mono.init(jax.random.PRNGKey(0), x[:, :16])
+
+        expected = jnp.clip(model_mono.apply(variables, x), 0.0, 1.0)
+
+        fwd = make_tiled_forward(model_tiled, mesh)
+        out = fwd(variables, shard_image(x, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestDataParallelEquivalence:
+    def test_dp_train_step_matches_single_device(self):
+        from bayer_low_light_image_enhancement_tpu.train.trainer import (
+            TrainConfig,
+            Trainer,
+        )
+
+        cfg = RawFormerConfig(dim=8, num_heads=(2, 2, 2, 2))
+        model = RawFormer(cfg)
+        x = jnp.asarray(RNG.uniform(0, 1, (8, 32, 32, 1)).astype(np.float32))
+        y = jnp.asarray(RNG.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32))
+
+        t_single = Trainer(model, TrainConfig(base_lr=1e-3, warmup_epochs=1))
+        s_single = t_single.init(jax.random.PRNGKey(0), x[:1])
+        s1, loss1 = t_single.train_step(s_single, (x, y))
+
+        mesh = create_mesh(data=8)
+        t_dp = Trainer(model, TrainConfig(base_lr=1e-3, warmup_epochs=1), mesh=mesh)
+        s_dp = t_dp.init(jax.random.PRNGKey(0), x[:1])
+        bx, by = t_dp.shard_batch((x, y))
+        s2, loss2 = t_dp.train_step(s_dp, (bx, by))
+
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+        p1 = jax.tree.leaves(s1.params)
+        p2 = jax.tree.leaves(s2.params)
+        for a, b in zip(p1, p2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
