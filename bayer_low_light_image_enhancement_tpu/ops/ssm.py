@@ -27,30 +27,14 @@ import jax
 import jax.numpy as jnp
 
 
-def selective_scan(
-    u: jnp.ndarray,      # [B, L, D]  input sequence
-    delta: jnp.ndarray,  # [B, L, D]  positive step sizes
-    A: jnp.ndarray,      # [D, N]     state matrix (negative real)
-    B: jnp.ndarray,      # [B, L, N]  input->state projection (selective)
-    C: jnp.ndarray,      # [B, L, N]  state->output projection (selective)
-    D: Optional[jnp.ndarray] = None,  # [D] skip connection
-) -> jnp.ndarray:
-    """Parallel selective scan. Returns y [B, L, D].
-
-    All recurrence math in fp32 for stability (exp of dt*A), result cast back
-    to u.dtype.
-    """
-    dtype_in = u.dtype
-    uf = u.astype(jnp.float32)
-    delta = delta.astype(jnp.float32)
-    Af = A.astype(jnp.float32)
-    Bf = B.astype(jnp.float32)
-    Cf = C.astype(jnp.float32)
-
-    # Discretise: a = exp(dt * A): [B, L, D, N]; b = dt * B * u: [B, L, D, N]
+def _scan_chunk(uf, delta, Af, Bf, Cf, h0):
+    """Associative scan of one chunk given incoming state h0 [B, D, N].
+    Returns (y [B, L, D], h_out [B, D, N])."""
     dA = jnp.einsum("bld,dn->bldn", delta, Af)
     a = jnp.exp(dA)
     b = (delta * uf)[..., None] * Bf[:, :, None, :]
+    # Fold the carried state into the first step: h_1 = a_1*h0 + b_1.
+    b = b.at[:, 0].add(a[:, 0] * h0)
 
     def combine(left, right):
         a1, b1 = left
@@ -59,6 +43,58 @@ def selective_scan(
 
     _, h = jax.lax.associative_scan(combine, (a, b), axis=1)
     y = jnp.einsum("bldn,bln->bld", h, Cf)
+    return y, h[:, -1]
+
+
+def selective_scan(
+    u: jnp.ndarray,      # [B, L, D]  input sequence
+    delta: jnp.ndarray,  # [B, L, D]  positive step sizes
+    A: jnp.ndarray,      # [D, N]     state matrix (negative real)
+    B: jnp.ndarray,      # [B, L, N]  input->state projection (selective)
+    C: jnp.ndarray,      # [B, L, N]  state->output projection (selective)
+    D: Optional[jnp.ndarray] = None,  # [D] skip connection
+    chunk_size: int = 256,
+) -> jnp.ndarray:
+    """Parallel selective scan, chunked for memory. Returns y [B, L, D].
+
+    A monolithic associative scan materialises the [B, L, D, N] discretised
+    operands (1 GB-scale at WFB bottleneck sizes). Chunking runs a
+    ``lax.scan`` over L/chunk sequential chunks carrying only the [B, D, N]
+    state, with the log-depth associative scan *inside* each chunk — HBM
+    holds one chunk of [B, chunk, D, N] at a time while u/dt/B/C stream
+    through once. All recurrence math in fp32 (exp of dt*A) regardless of
+    compute dtype.
+    """
+    dtype_in = u.dtype
+    bsz, L, d = u.shape
+    n = A.shape[1]
+    uf = u.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    Af = A.astype(jnp.float32)
+    Bf = B.astype(jnp.float32)
+    Cf = C.astype(jnp.float32)
+
+    h0 = jnp.zeros((bsz, d, n), jnp.float32)
+    if L <= chunk_size or L % chunk_size:
+        y, _ = _scan_chunk(uf, delta, Af, Bf, Cf, h0)
+    else:
+        k = L // chunk_size
+
+        def to_chunks(t):
+            return jnp.moveaxis(
+                t.reshape(bsz, k, chunk_size, *t.shape[2:]), 1, 0
+            )
+
+        xs = (to_chunks(uf), to_chunks(delta), to_chunks(Bf), to_chunks(Cf))
+
+        def body(h, chunk):
+            uc, dc, bc, cc = chunk
+            yc, h_next = _scan_chunk(uc, dc, Af, bc, cc, h)
+            return h_next, yc
+
+        _, ys = jax.lax.scan(body, h0, xs)
+        y = jnp.moveaxis(ys, 0, 1).reshape(bsz, L, d)
+
     if D is not None:
         y = y + uf * D.astype(jnp.float32)
     return y.astype(dtype_in)

@@ -64,6 +64,9 @@ class TrainConfig:
     steps_per_epoch: int = 1
     loss: str = "charbonnier"
     grad_clip: Optional[float] = None
+    # Skip the update on a non-finite loss (the reference's NaN-batch skip,
+    # RawFomer_WFB_FFAB/train.py:165-182, made jit-safe: no host sync).
+    nan_guard: bool = True
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -135,6 +138,11 @@ class Trainer:
                 return self.loss_fn(pred, gt), mut
 
             (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            if self.cfg.nan_guard:
+                ok = jnp.isfinite(loss)
+                grads = jax.tree.map(
+                    lambda g: jnp.where(ok & jnp.all(jnp.isfinite(g)), g, 0.0), grads
+                )
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return (

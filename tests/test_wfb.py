@@ -17,15 +17,17 @@ RNG = np.random.default_rng(11)
 
 
 class TestSelectiveScan:
-    def test_parallel_matches_sequential(self):
-        b, l, d, n = 2, 33, 6, 4
+    @pytest.mark.parametrize("l,chunk", [(33, 256), (64, 16), (48, 12)])
+    def test_parallel_matches_sequential(self, l, chunk):
+        # Covers: single-chunk path, evenly-chunked path (carried state).
+        b, d, n = 2, 6, 4
         u = jnp.asarray(RNG.standard_normal((b, l, d)).astype(np.float32))
         delta = jnp.asarray(RNG.uniform(0.01, 0.5, (b, l, d)).astype(np.float32))
         A = -jnp.asarray(RNG.uniform(0.1, 2.0, (d, n)).astype(np.float32))
         B = jnp.asarray(RNG.standard_normal((b, l, n)).astype(np.float32))
         C = jnp.asarray(RNG.standard_normal((b, l, n)).astype(np.float32))
         D = jnp.asarray(RNG.standard_normal(d).astype(np.float32))
-        y_par = selective_scan(u, delta, A, B, C, D)
+        y_par = selective_scan(u, delta, A, B, C, D, chunk_size=chunk)
         y_seq = selective_scan_ref(u, delta, A, B, C, D)
         np.testing.assert_allclose(np.asarray(y_par), np.asarray(y_seq), rtol=1e-4, atol=1e-4)
 
