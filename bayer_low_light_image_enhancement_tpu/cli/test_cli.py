@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--save_images", action="store_true")
     p.add_argument("--pad_to", type=int, default=16, help="pad H/W to multiple")
+    p.add_argument(
+        "--spatial_chips",
+        type=int,
+        default=1,
+        help="shard full-resolution frames over N chips along H "
+        "(halo-exchange tiling; 1 = monolithic)",
+    )
     return p
 
 
@@ -98,7 +105,36 @@ def main(argv=None):
         params = restored.variables()
         print(f"restored orbax checkpoint step {step}")
 
-    fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))
+    if args.spatial_chips > 1:
+        if args.model:
+            raise SystemExit("--spatial_chips currently supports the canonical "
+                             "RawFormer (--model_size) only")
+        from bayer_low_light_image_enhancement_tpu.core.mesh import AXES, create_mesh
+        from bayer_low_light_image_enhancement_tpu.models.rawformer import (
+            RawFormer,
+            RawFormerConfig,
+        )
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        mesh = create_mesh(data=1, spatial=args.spatial_chips)
+        tiled_model = RawFormer(
+            RawFormerConfig.from_size(
+                args.model_size,
+                dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+                spatial_axis=AXES.spatial,
+            )
+        )
+        tiled_fwd = make_tiled_forward(tiled_model, mesh)
+        args.pad_to = max(args.pad_to, 16 * args.spatial_chips)
+
+        def fwd(p, x):
+            return tiled_fwd(p, shard_image(x, mesh))
+
+    else:
+        fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))
     metric_fn = jax.jit(
         lambda p_img, g_img: (
             psnr(jnp.floor(p_img * 255.0), jnp.floor(g_img * 255.0)),

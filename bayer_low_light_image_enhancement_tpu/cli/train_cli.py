@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_dir", default="result")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", action="store_true", help="rematerialise forward in backward")
     p.add_argument("--val_every", type=int, default=1)
     p.add_argument("--save_every", type=int, default=50)
     return p
@@ -120,7 +122,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     train_ds, val_ds = build_datasets(args)
-    train_loader = Loader(train_ds, args.batch_size, shuffle=True)
+    train_loader = Loader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
     val_loader = Loader(val_ds, min(args.batch_size, len(val_ds)), shuffle=False, drop_last=False)
     steps_per_epoch = max(1, len(train_loader))
 
@@ -133,6 +135,7 @@ def main(argv=None):
             total_epochs=args.epochs,
             steps_per_epoch=steps_per_epoch,
             loss=args.loss,
+            remat=args.remat,
         ),
         mesh=mesh,
     )
@@ -143,7 +146,7 @@ def main(argv=None):
     best = BestTracker()
 
     sample = train_ds.sample(0, np.random.default_rng(0))
-    state = trainer.init(jax.random.PRNGKey(0), jnp.asarray(sample[0][None]))
+    state = trainer.init(jax.random.PRNGKey(args.seed), jnp.asarray(sample[0][None]))
     start_epoch = 0
     if args.resume:
         restored, step = ckpt.restore(state)

@@ -55,6 +55,21 @@ def create_mesh(
     return Mesh(dev_array, (AXES.data, AXES.spatial))
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host setup (SURVEY.md §5 "distributed comm backend"): one call
+    per host before building meshes; ICI carries intra-slice collectives,
+    DCN carries cross-host. Arguments default to cluster auto-detection."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard leading (batch) dim over ``data``; replicate the rest."""
     spec = P(AXES.data, *([None] * (ndim - 1)))
