@@ -126,7 +126,14 @@ def main(argv=None):
     val_loader = Loader(val_ds, min(args.batch_size, len(val_ds)), shuffle=False, drop_last=False)
     steps_per_epoch = max(1, len(train_loader))
 
-    mesh = create_mesh(data=args.num_chips)
+    n_chips = args.num_chips if args.num_chips != -1 else len(jax.devices())
+    if args.batch_size % n_chips != 0:
+        # Largest chip count that divides the batch (batch is sharded over
+        # the data axis; XLA requires even division).
+        n_chips = max(d for d in range(1, n_chips + 1) if args.batch_size % d == 0)
+        print(f"note: batch_size {args.batch_size} not divisible by device count; "
+              f"using {n_chips} data-parallel chip(s)")
+    mesh = create_mesh(data=n_chips)
     model = build_model(args)
     trainer = Trainer(
         model,
