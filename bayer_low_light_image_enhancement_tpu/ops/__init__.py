@@ -20,6 +20,8 @@ from bayer_low_light_image_enhancement_tpu.ops.bayer import (
     normalize_sid,
     CFA_PATTERNS,
 )
+from bayer_low_light_image_enhancement_tpu.ops.luma import bayer_luma_chroma
+from bayer_low_light_image_enhancement_tpu.ops.ssm import selective_scan, MambaBlock
 
 __all__ = [
     "space_to_depth",
@@ -36,4 +38,7 @@ __all__ = [
     "pack_bayer",
     "normalize_sid",
     "CFA_PATTERNS",
+    "bayer_luma_chroma",
+    "selective_scan",
+    "MambaBlock",
 ]

@@ -19,6 +19,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bayer_low_light_image_enhancement_tpu.models.common import Conv2d
 from bayer_low_light_image_enhancement_tpu.ops.conv import leaky_relu
@@ -40,7 +41,12 @@ class FEB(nn.Module):
 
         x = jnp.clip(x.astype(jnp.float32), -10.0, 10.0)
         pre = Conv2d(c, 1, name="fpre", **kw)(x)
-        freq = jnp.fft.rfft2(pre, axes=(1, 2), norm="ortho")
+        # norm="ortho" applied manually with Python-float constants:
+        # jnp's norm= path eagerly dispatches an integer reduce-prod at trace
+        # time, which this TPU backend doesn't implement as a
+        # standalone op.
+        ortho = 1.0 / float(np.sqrt(h * w))
+        freq = jnp.fft.rfft2(pre, axes=(1, 2)) * ortho
         # The DC/Nyquist bins of a real signal are structurally real, but FFT
         # backends emit tiny +-eps imaginary parts there, flipping angle()
         # between ~+-pi nondeterministically (and making its gradient blow
@@ -62,7 +68,11 @@ class FEB(nn.Module):
         pha = leaky_relu(pha, 0.1)
         pha = Conv2d(c, 1, name="process2_1", **kw)(pha)
 
-        out = jnp.fft.irfft2(mag * jnp.exp(1j * pha.astype(jnp.complex64)), s=(h, w), axes=(1, 2), norm="ortho")
+        # Recompose via cos/sin (reference blocks.py:32-34; also avoids
+        # complex exp, which this TPU backend doesn't implement).
+        spec = jax.lax.complex(mag * jnp.cos(pha), mag * jnp.sin(pha))
+        # ortho inverse == backward inverse (1/N) scaled by sqrt(N).
+        out = jnp.fft.irfft2(spec, s=(h, w), axes=(1, 2)) * float(np.sqrt(h * w))
         out = jnp.clip(out + x, -10.0, 10.0)
         return out.astype(self.dtype)
 

@@ -43,6 +43,33 @@ class TestLosses:
         x = jnp.asarray(RNG.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32))
         assert float(sid_color_loss(x, x)) == pytest.approx(0.0, abs=1e-5)
 
+    def test_sid_color_loss_parity_vs_reference(self):
+        """vs /root/reference/TrueColorRawFormer.py:459-510 SIDColorLoss."""
+        import importlib.util
+        from conftest import REFERENCE_ROOT, add_reference_to_path
+
+        add_reference_to_path()
+        import torch
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_truecolor", f"{REFERENCE_ROOT}/TrueColorRawFormer.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        pred = RNG.uniform(0.02, 0.98, (2, 8, 8, 3)).astype(np.float32)
+        target = RNG.uniform(0.02, 0.98, (2, 8, 8, 3)).astype(np.float32)
+        ref = mod.SIDColorLoss()
+        with torch.no_grad():
+            expected = float(
+                ref(
+                    torch.from_numpy(pred.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(target.transpose(0, 3, 1, 2)),
+                )
+            )
+        ours = float(sid_color_loss(jnp.asarray(pred), jnp.asarray(target)))
+        assert ours == pytest.approx(expected, rel=2e-3)
+
 
 class TestSchedule:
     def test_reference_semantics(self):
