@@ -53,8 +53,7 @@ def convT2x2_to_upsample(w: np.ndarray) -> np.ndarray:
     i, o, kh, kw = w.shape
     if (kh, kw) != (2, 2):
         raise ValueError(f"expected 2x2 transposed kernel, got {w.shape}")
-    # column index = o*4 + di*2 + dj
-    w = np.transpose(w, (0, 1, 2, 3)).reshape(i, o * 4)
+    # Row-major (o, di, dj) flatten == column index o*4 + di*2 + dj.
     return w.reshape(1, 1, i, o * 4)
 
 

@@ -17,22 +17,19 @@ inference.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bayer_low_light_image_enhancement_tpu.models.common import Conv2d
 from bayer_low_light_image_enhancement_tpu.ops.conv import global_mean
 from bayer_low_light_image_enhancement_tpu.ops.dwt import haar_dwt_fb
 
 Dtype = Any
-
-
-import functools
-
-import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
