@@ -147,7 +147,10 @@ class MambaBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: [B, L, D] -> [B, L, D]."""
         d_inner = self.expand * self.d_model
-        dt_rank = max(1, self.d_model // 16)  # mamba default ceil(d_model/16)
+        # mamba_ssm default dt_rank = ceil(d_model/16); matters whenever
+        # d_model % 16 != 0 (e.g. WFB stage dims 24/48 packed bands) for
+        # checkpoint-port compatibility.
+        dt_rank = -(-self.d_model // 16)
 
         xz = nn.Dense(
             2 * d_inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
