@@ -1,0 +1,483 @@
+"""Fully-fused TransformerBlock (LN + channel attention + ConvFFN) Pallas kernel.
+
+The RawFormer hot path (BENCHMARKS.md): at the dominant level-1 scale
+([8,256,256,32] bf16) the XLA lowering of one TransformerBlock moves ~900 MB
+through HBM (qkv/depthwise/FFN intermediates) and runs at ~17% of bandwidth
+roofline — 7.22 ms of the 8.59 ms stage. The math is nearly free; the traffic
+is the cost. This kernel keeps every intermediate (the 3C qkv tensor, the
+depthwise taps, the 2C FFN hidden state) in VMEM and touches HBM only to read
+x twice and write the block output once (~96 MB).
+
+Reference semantics fused here (cited for parity):
+  * ``/root/reference/RawFomer_WFB_FFAB/model.py:372-391`` TransformerBlock:
+    ``x = x + attn(norm1(x)); x = x + ffn(norm2(x))``.
+  * ``:338-370`` channel attention — qkv 1x1 + 3x3 depthwise, per-head
+    L2-normalised [c,c] gram over ALL pixels, softmax * temperature, apply, 1x1
+    projection.
+  * ``:319-336`` ConvFFN — 1x1 expand, 3x3 depthwise, exact GELU, 1x1 project.
+  * ``:89-135`` WithBias LayerNorm over channels.
+
+Design (v2 — supersedes kernels/fused_attention.py, whose measured failure
+modes are documented in its docstring):
+
+  * TWO simple pipelined kernels over overlapping H-tile windows, with the
+    tiny [C,C] attention finalise (normalise, temperature, per-head softmax,
+    fold into the projection: apply = attn^T @ Wproj) done in plain XLA
+    between them. No cross-grid-step scratch carries, no phase branching —
+    the fragile parts of v1.
+      - Kernel A: LN1 -> q,k (1x1 + dw3x3) -> accumulate gram + sumsq per
+        image via output revisiting.
+      - Kernel B: LN1 -> v only (v1 recomputed the full qkv), y = x + v@apply
+        + bias, then the whole FFN (LN2 -> 1x1 -> dw3x3 -> GELU -> 1x1) and
+        both residuals.
+  * Depthwise 3x3 without relayouts (v1's 9 lane-shifted slices were the
+    main loss): rows combine via LEADING-dim slices (free), columns align via
+    two sublane ``jnp.roll``s per conv. No reshapes, no offset column slices
+    anywhere in either kernel; tensors stay [rows, W+4, F] with compile-time
+    column-offset bookkeeping and iota masks against the real H/W passed as
+    scalar prefetch.
+  * q, k, v are produced by separate matmuls (not lane-sliced from a packed
+    3C tensor).
+
+Numerics: LN/statistics and depthwise accumulation in fp32; matmuls bf16 in
+-> fp32 accumulate -> bf16 out, matching the module path's bf16 compute
+config at bf16 tolerances. Folding the projection into the attention apply
+(one matmul instead of two) is an associativity change absorbed by the same
+tolerance.
+
+Inference-only: ``pallas_call`` has no autodiff here; training keeps the XLA
+path (see models/fused_apply.py for the interception wiring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+
+
+def _ln(x_f32, w_ref, b_ref, mavg_ref, eps=1e-5):
+    """Channel LayerNorm (torch semantics: biased var, fp32 stats).
+
+    The mean over each image's channel segment is one [.., Cg] @ [Cg, Cg]
+    MXU dot with a block-diagonal averaging matrix — with g images packed in
+    the lane dim this is a segmented reduction the VPU can't express; with
+    g=1 it degenerates to the plain channel mean."""
+    mavg = mavg_ref[...]
+    dn = (((2,), (0,)), ((), ()))
+    mu = jax.lax.dot_general(x_f32, mavg, dimension_numbers=dn,
+                             preferred_element_type=_F32)
+    var = jax.lax.dot_general(x_f32 * x_f32, mavg, dimension_numbers=dn,
+                              preferred_element_type=_F32) - mu * mu
+    y = (x_f32 - mu) * jax.lax.rsqrt(var + eps)
+    return y * w_ref[0].astype(_F32) + b_ref[0].astype(_F32)
+
+
+def _dw3x3(z, w_ref):
+    """Width-preserving depthwise 3x3 'VALID-rows' conv.
+
+    z: [R, Wp, F] bf16; w_ref: (3, 3, F). Returns [R-2, Wp, F] bf16 whose
+    (o, c) entry is the conv centred at z[o+1, c+1] — i.e. the result carries
+    a +1 column offset; the two trailing columns are wrap garbage to be
+    masked by the caller. Row taps are leading-dim slices (free); column
+    alignment is two sublane rolls — no relayout copies.
+    """
+    r = z.shape[0]
+    acc = None
+    for dj in range(3):
+        s = (
+            z[0 : r - 2] * w_ref[0, dj]
+            + z[1 : r - 1] * w_ref[1, dj]
+            + z[2:r] * w_ref[2, dj]
+        ).astype(_F32)
+        if dj:
+            s = jnp.roll(s, -dj, axis=1)
+        acc = s if acc is None else acc + s
+    return acc.astype(_BF16)
+
+
+def _real_mask(i, th, hw_ref, rows, wp, row_off, col_off, dtype=_BF16):
+    """Mask of pixels inside the real image.
+
+    Tensor row o maps to global row i*th + o + row_off; column c maps to
+    global column c + col_off. (Windows start 2 rows/cols before the tile so
+    raw window coords have row_off=-2, col_off=-2; each dw3x3 adds +1 to the
+    column offset.)
+    """
+    h_real = hw_ref[0]
+    w_real = hw_ref[1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 1)
+    g = i * th + ri + row_off
+    c = ci + col_off
+    ok = (g >= 0) & (g < h_real) & (c >= 0) & (c < w_real)
+    return ok.astype(dtype)
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU via the Abramowitz-Stegun 7.1.26 rational erf
+    approximation (max |err| 1.5e-7 — far below bf16 resolution). Mosaic has
+    no erf/erfc lowering, and the tanh-approximate GELU would deviate from
+    the reference's torch-default exact GELU by ~1e-3."""
+    z = x * 0.7071067811865476
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * x * (1.0 + erf)
+
+
+def _matmul(x, w_ref, out_dtype=_BF16):
+    """[R, Wp, Cin] @ [Cin, Cout] on the MXU, fp32 accumulation."""
+    return jax.lax.dot_general(
+        x,
+        w_ref[...].astype(x.dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    ).astype(out_dtype)
+
+
+def _gram_kernel(
+    hw_ref,  # scalar prefetch: [2] int32 (H_real, W_real)
+    win_ref,  # [1, 1, R, Wp, C]
+    mavg_ref,            # (C, C) f32 block-diagonal segment-mean matrix
+    ln1w_ref, ln1b_ref,  # (1, C)
+    wq_ref, bq_ref,      # (C, C), (1, C)
+    wk_ref, bk_ref,
+    dwq_ref, bdwq_ref,   # (3, 3, C), (1, C)
+    dwk_ref, bdwk_ref,
+    gram_ref,  # out (1, C, C) f32 — accumulated across tiles
+    qss_ref,   # out (1, 1, C) f32
+    kss_ref,   # out (1, 1, C) f32
+    *,
+    th: int,
+):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        gram_ref[...] = jnp.zeros_like(gram_ref)
+        qss_ref[...] = jnp.zeros_like(qss_ref)
+        kss_ref[...] = jnp.zeros_like(kss_ref)
+
+    x = win_ref[0, 0]  # [R, Wp, C] bf16
+    r, wp, _ = x.shape
+    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2)
+    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref) * m0.astype(_F32)).astype(_BF16)
+
+    # Gram contributions only from this tile's own th rows (halo rows belong
+    # to the neighbouring tiles) and real columns; the dw3x3 output carries a
+    # +1 column offset.
+    h_real = hw_ref[0]
+    w_real = hw_ref[1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (r - 2, wp, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (r - 2, wp, 1), 1)
+    own = (ri >= 1) & (ri < th + 1) & (i * th + ri - 1 < h_real)
+    own &= (ci >= 1) & (ci - 1 < w_real)
+    mg = own.astype(_BF16)
+
+    q = _dw3x3((_matmul(xn, wq_ref) + bq_ref[0]) * m0, dwq_ref)
+    q = (q + bdwq_ref[0]) * mg
+    k = _dw3x3((_matmul(xn, wk_ref) + bk_ref[0]) * m0, dwk_ref)
+    k = (k + bdwk_ref[0]) * mg
+
+    # Mosaic's tpu.matmul rejects multi-dim contractions; accumulate the
+    # gram as one [Wp, C]^T @ [Wp, C] MXU dot per row (leading-dim indexing
+    # is free).
+    g = None
+    for o in range(r - 2):
+        t = jax.lax.dot_general(
+            q[o], k[o], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+        g = t if g is None else g + t
+    gram_ref[0] += g
+    qf = q.astype(_F32)
+    kf = k.astype(_F32)
+    qss_ref[...] += jnp.sum(qf * qf, axis=(0, 1), keepdims=True)
+    kss_ref[...] += jnp.sum(kf * kf, axis=(0, 1), keepdims=True)
+
+
+def _apply_ffn_kernel(
+    hw_ref,
+    win_ref,   # [1, 1, R, Wp, C]
+    mavg_ref,   # (C, C) f32
+    apply_ref,  # (1, C, C) f32 — attn^T @ Wproj, per image (block-diag per group)
+    ln1w_ref, ln1b_ref,
+    wv_ref, bv_ref,
+    dwv_ref, bdwv_ref,
+    bproj_ref,           # (1, C)
+    ln2w_ref, ln2b_ref,
+    wp1_ref, bp1_ref,    # (C, Ch), (1, Ch)
+    dwf_ref, bdwf_ref,   # (3, 3, Ch), (1, Ch)
+    wp2_ref, bp2_ref,    # (Ch, C), (1, C)
+    out_ref,   # [1, th, Wp, C]
+    *,
+    th: int,
+):
+    i = pl.program_id(1)
+    x = win_ref[0, 0]
+    r, wp, _ = x.shape
+    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2)
+    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref) * m0.astype(_F32)).astype(_BF16)
+
+    # v branch; mv masks real pixels at the dw output's +1 column offset.
+    mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1)
+    v = _dw3x3((_matmul(xn, wv_ref) + bv_ref[0]) * m0, dwv_ref)
+    v = (v + bdwv_ref[0]) * mv
+
+    att = jax.lax.dot_general(
+        v, apply_ref[0].astype(_BF16),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    ).astype(_BF16)
+    att = (att + bproj_ref[0]) * mv
+
+    # First residual. x rows [1, th+3) align with v's rows; one sublane roll
+    # aligns columns to the +1 offset. x is zero outside the real image, so
+    # y is too (== the SAME zero padding the FFN depthwise expects).
+    y = jnp.roll(x[1 : r - 1], -1, axis=1) + att  # [th+2, Wp, C], col off +1
+
+    yn = (_ln(y.astype(_F32), ln2w_ref, ln2b_ref, mavg_ref) * mv.astype(_F32)).astype(_BF16)
+    t = (_matmul(yn, wp1_ref) + bp1_ref[0]) * mv
+    f = _dw3x3(t, dwf_ref) + bdwf_ref[0]  # [th, Wp, Ch], col offset +2
+    f = _gelu_exact(f.astype(_F32)).astype(_BF16)
+    f = _matmul(f, wp2_ref) + bp2_ref[0]
+
+    # Second residual: y rows [1, th+1) with one more column roll (+2 offset).
+    out = jnp.roll(y[1 : th + 1], -1, axis=1) + f
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def finalize_attention(gram, qss, kss, temperature, wproj, num_heads):
+    """XLA-side [C,C] finalise: per-head normalised softmax folded into the
+    output projection. gram/qss/kss: [B, C, C]/[B, C]; returns apply [B, C, C]
+    with out_tokens = v_tokens @ apply (+ proj bias)."""
+    c = gram.shape[-1]
+    ch = c // num_heads
+    head_id = np.repeat(np.arange(num_heads), ch)
+    mask = jnp.asarray(
+        np.where(head_id[:, None] == head_id[None, :], 0.0, -np.inf), _F32
+    )
+    trow = jnp.repeat(temperature.astype(_F32), ch)  # [C]
+
+    # torch F.normalize: x / max(|x|, eps), eps=1e-12.
+    qinv = 1.0 / jnp.maximum(jnp.sqrt(qss.astype(_F32)), 1e-12)
+    kinv = 1.0 / jnp.maximum(jnp.sqrt(kss.astype(_F32)), 1e-12)
+    attn = gram.astype(_F32) * qinv[:, :, None] * kinv[:, None, :]
+    attn = attn * trow[None, :, None] + mask[None]
+    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+    e = jnp.exp(attn)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    # apply[c', d] = sum_c attn[c, c'] wproj[c, d]
+    return jnp.einsum("bcx,cd->bxd", attn, wproj.astype(_F32))
+
+
+def _replicated(shape):
+    return pl.BlockSpec(shape, lambda b, i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+
+def _block_diag(w, g):
+    """Tile a [I, O] matrix into a [g*I, g*O] block-diagonal matrix."""
+    if g == 1:
+        return w
+    i, o = w.shape
+    out = jnp.zeros((g * i, g * o), w.dtype)
+    for j in range(g):
+        out = out.at[j * i : (j + 1) * i, j * o : (j + 1) * o].set(w)
+    return out
+
+
+def fused_transformer_block(
+    x: jnp.ndarray,
+    params: Dict[str, Any],
+    num_heads: int,
+    tile_rows: int = 8,
+    group: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Run one full TransformerBlock on x [B, H, W, C] -> [B, H, W, C].
+
+    ``params`` is the flax param subtree of models.common.TransformerBlock
+    (norm1 / attn{qkv, qkv_dwconv, project_out, temperature} / norm2 /
+    ffn{pointwise1, depthwise, pointwise2}).
+
+    ``group``: number of images packed into the lane dimension (default
+    128 // C, when the batch divides). At RawFormer's small channel widths a
+    single image fills only C of the 128 VPU lanes and a C-wide MXU tile;
+    packing g images makes every 1x1 conv a block-diagonal [gC, gC] matmul
+    at full tile utilisation and cuts the grid-step count by g. Per-image
+    semantics are exact: LayerNorm means come from a block-diagonal
+    averaging matmul, the [gC, gC] gram's off-diagonal (cross-image) blocks
+    are discarded by the XLA finalise, and the attention-apply matrix is
+    re-assembled block-diagonally.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w, c = x.shape
+    g = group if group is not None else max(1, 128 // c)
+    while g > 1 and b % g:
+        g //= 2
+    b2 = b // g
+    cg = g * c
+
+    th = tile_rows
+    hp = -(-h // th) * th
+    nt = hp // th
+    r, wp = th + 4, w + 4
+
+    dtype_in = x.dtype
+    xg = x.astype(_BF16)
+    if g > 1:
+        # [B, H, W, C] -> [B/g, H, W, g*C]: group j holds images j*g .. j*g+g-1.
+        xg = jnp.transpose(xg.reshape(b2, g, h, w, c), (0, 2, 3, 1, 4)).reshape(
+            b2, h, w, cg
+        )
+    xpad = jnp.pad(xg, ((0, 0), (2, 2 + hp - h), (2, 2), (0, 0)))
+    windows = jnp.stack(
+        [xpad[:, i * th : i * th + r] for i in range(nt)], axis=1
+    )  # [B2, nt, R, Wp, Cg]
+    hw = jnp.asarray([h, w], jnp.int32)
+
+    p_attn = params["attn"]
+    wqkv = jnp.reshape(p_attn["qkv"]["kernel"], (c, 3 * c))
+    bqkv = p_attn["qkv"]["bias"]
+    wdw = jnp.reshape(p_attn["qkv_dwconv"]["kernel"], (3, 3, 3 * c))
+    bdw = p_attn["qkv_dwconv"]["bias"]
+    wproj = jnp.reshape(p_attn["project_out"]["kernel"], (c, c))
+    bproj = p_attn["project_out"]["bias"]
+    temperature = p_attn["temperature"]
+    ln1w, ln1b = params["norm1"]["weight"], params["norm1"]["bias"]
+    ln2w, ln2b = params["norm2"]["weight"], params["norm2"]["bias"]
+    p_ffn = params["ffn"]
+    ch_hidden = p_ffn["pointwise1"]["kernel"].shape[-1]
+    wp1 = jnp.reshape(p_ffn["pointwise1"]["kernel"], (c, ch_hidden))
+    bp1 = p_ffn["pointwise1"]["bias"]
+    wdwf = jnp.reshape(p_ffn["depthwise"]["kernel"], (3, 3, ch_hidden))
+    bdwf = p_ffn["depthwise"]["bias"]
+    wp2 = jnp.reshape(p_ffn["pointwise2"]["kernel"], (ch_hidden, c))
+    bp2 = p_ffn["pointwise2"]["bias"]
+
+    bd = lambda m: _block_diag(m, g)
+    tile_v = lambda v: jnp.tile(jnp.reshape(v, (1, -1)), (1, g))
+    tile_dw = lambda k: jnp.tile(k, (1, 1, g))
+    mavg = _block_diag(jnp.full((c, c), 1.0 / c, _F32), g)
+
+    win_spec = pl.BlockSpec(
+        (1, 1, r, wp, cg), lambda bb, i, *_: (bb, i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    gram, qss, kss = pl.pallas_call(
+        functools.partial(_gram_kernel, th=th),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b2, nt),
+            in_specs=[
+                win_spec,
+                _replicated((cg, cg)),
+                _replicated((1, cg)), _replicated((1, cg)),
+                _replicated((cg, cg)), _replicated((1, cg)),
+                _replicated((cg, cg)), _replicated((1, cg)),
+                _replicated((3, 3, cg)), _replicated((1, cg)),
+                _replicated((3, 3, cg)), _replicated((1, cg)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, cg, cg), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cg), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cg), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b2, cg, cg), _F32),
+            jax.ShapeDtypeStruct((b2, 1, cg), _F32),
+            jax.ShapeDtypeStruct((b2, 1, cg), _F32),
+        ],
+        interpret=interpret,
+    )(
+        hw, windows, mavg,
+        tile_v(ln1w), tile_v(ln1b),
+        bd(wqkv[:, :c]), tile_v(bqkv[:c]),
+        bd(wqkv[:, c : 2 * c]), tile_v(bqkv[c : 2 * c]),
+        tile_dw(wdw[:, :, :c]), tile_v(bdw[:c]),
+        tile_dw(wdw[:, :, c : 2 * c]), tile_v(bdw[c : 2 * c]),
+    )
+
+    # Per-image finalise: pull the g diagonal [C, C] blocks out of the packed
+    # gram (cross-image blocks are meaningless), fold softmax into Wproj,
+    # then re-pack block-diagonally for the apply kernel.
+    if g > 1:
+        gram_b = gram.reshape(b2, g, c, g, c)
+        gram_img = jnp.stack(
+            [gram_b[:, j, :, j, :] for j in range(g)], axis=1
+        ).reshape(b, c, c)
+        qss_img = qss[:, 0].reshape(b, c)
+        kss_img = kss[:, 0].reshape(b, c)
+    else:
+        gram_img, qss_img, kss_img = gram, qss[:, 0], kss[:, 0]
+
+    apply_img = finalize_attention(
+        gram_img, qss_img, kss_img, temperature, wproj, num_heads
+    )  # [B, C, C]
+    if g > 1:
+        blocks = apply_img.reshape(b2, g, c, c)
+        apply = jnp.zeros((b2, cg, cg), _F32)
+        for j in range(g):
+            apply = apply.at[:, j * c : (j + 1) * c, j * c : (j + 1) * c].set(
+                blocks[:, j]
+            )
+    else:
+        apply = apply_img
+
+    out = pl.pallas_call(
+        functools.partial(_apply_ffn_kernel, th=th),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b2, nt),
+            in_specs=[
+                win_spec,
+                _replicated((cg, cg)),
+                pl.BlockSpec((1, cg, cg), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+                _replicated((1, cg)), _replicated((1, cg)),
+                _replicated((cg, cg)), _replicated((1, cg)),
+                _replicated((3, 3, cg)), _replicated((1, cg)),
+                _replicated((1, cg)),
+                _replicated((1, cg)), _replicated((1, cg)),
+                _replicated((cg, g * ch_hidden)), _replicated((1, g * ch_hidden)),
+                _replicated((3, 3, g * ch_hidden)), _replicated((1, g * ch_hidden)),
+                _replicated((g * ch_hidden, cg)), _replicated((1, cg)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, th, wp, cg), lambda bb, i, *_: (bb, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b2, hp, wp, cg), dtype_in),
+        interpret=interpret,
+    )(
+        hw, windows, mavg, apply,
+        tile_v(ln1w), tile_v(ln1b),
+        bd(wqkv[:, 2 * c :]), tile_v(bqkv[2 * c :]),
+        tile_dw(wdw[:, :, 2 * c :]), tile_v(bdw[2 * c :]),
+        tile_v(bproj),
+        tile_v(ln2w), tile_v(ln2b),
+        bd(wp1), tile_v(bp1),
+        tile_dw(wdwf), tile_v(bdwf),
+        bd(wp2), tile_v(bp2),
+    )
+    out = out[:, :h, :w]
+    if g > 1:
+        # [B2, H, W, g*C] -> [B, H, W, C]
+        out = jnp.transpose(out.reshape(b2, h, w, g, c), (0, 3, 1, 2, 4)).reshape(
+            b, h, w, c
+        )
+    return out

@@ -1,0 +1,77 @@
+"""Inference-time routing of TransformerBlocks onto the fused Pallas kernel.
+
+The reference runs eval with the same module graph as training
+(``/root/reference/test.py:107-116``); on TPU the XLA lowering of the
+TransformerBlock is HBM-bound (BENCHMARKS.md), so inference swaps in
+``kernels/fused_block.fused_transformer_block``. Rather than forking the
+model definitions or the checkpoint tree, we intercept TransformerBlock
+calls with ``flax.linen.intercept_methods`` — the bound module hands us its
+param subtree, and every model in the zoo that composes TransformerBlock
+(canonical RawFormer, the FLCA variants' transformer branches, ...) gets the
+kernel for free.
+
+Training keeps the plain XLA path (the kernel defines no VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+
+from bayer_low_light_image_enhancement_tpu.kernels.fused_block import (
+    fused_transformer_block,
+)
+from bayer_low_light_image_enhancement_tpu.models.common import TransformerBlock
+
+
+def _should_fuse(module: nn.Module, args, kwargs) -> bool:
+    if not isinstance(module, TransformerBlock):
+        return False
+    if module.spatial_axis is not None:
+        # Spatially-sharded attention psums across chips inside shard_map;
+        # the single-chip kernel's gram would silently be shard-local.
+        return False
+    if not args or getattr(args[0], "ndim", 0) != 4:
+        return False
+    return True
+
+
+def fused_apply(
+    model: nn.Module,
+    variables: Any,
+    *args,
+    tile_rows: Optional[int] = None,
+    method=None,
+    **kwargs,
+):
+    """``model.apply(variables, *args)`` with TransformerBlocks fused.
+
+    ``tile_rows``: kernel H-tile override (default: fused_block's default).
+    Falls back to the plain path automatically for spatially-sharded blocks.
+    """
+    kw = {} if tile_rows is None else {"tile_rows": tile_rows}
+
+    def interceptor(next_fn, iargs, ikwargs, context):
+        module = context.module
+        if context.method_name == "__call__" and _should_fuse(module, iargs, ikwargs):
+            params = module.variables["params"]
+            return fused_transformer_block(
+                iargs[0], params, module.num_heads, **kw
+            )
+        return next_fn(*iargs, **ikwargs)
+
+    with nn.intercept_methods(interceptor):
+        return model.apply(variables, *args, method=method, **kwargs)
+
+
+def make_fused_forward(model: nn.Module, tile_rows: Optional[int] = None):
+    """jit-friendly closure: (variables, x) -> y with fused blocks."""
+
+    @functools.wraps(model.apply)
+    def forward(variables, x):
+        return fused_apply(model, variables, x, tile_rows=tile_rows)
+
+    return forward

@@ -48,6 +48,42 @@ def _stub_module(name: str, **attrs):
     sys.modules[name] = mod
 
 
+def _make_fake_mamba():
+    """A parameter-faithful stand-in for mamba_ssm.Mamba.
+
+    Declares the exact parameter tree of the CUDA module (so reference
+    checkpoints/state_dicts round-trip through compat.torch_import) but has
+    no forward — the selective-scan kernel is CUDA-only. Checkpoint-port
+    tests exercise the real names/shapes; forward-parity tests neutralise
+    the WM branch on both sides (mamba excepted, documented).
+    """
+    import math
+
+    import torch
+
+    class _FakeMamba(torch.nn.Module):
+        def __init__(self, d_model, d_state=16, d_conv=4, expand=2, **_):
+            super().__init__()
+            d_inner = expand * d_model
+            dt_rank = math.ceil(d_model / 16)
+            self.in_proj = torch.nn.Linear(d_model, 2 * d_inner, bias=False)
+            self.conv1d = torch.nn.Conv1d(
+                d_inner, d_inner, d_conv, groups=d_inner, bias=True
+            )
+            self.x_proj = torch.nn.Linear(d_inner, dt_rank + 2 * d_state, bias=False)
+            self.dt_proj = torch.nn.Linear(dt_rank, d_inner, bias=True)
+            self.A_log = torch.nn.Parameter(
+                torch.log(torch.arange(1, d_state + 1).float().repeat(d_inner, 1))
+            )
+            self.D = torch.nn.Parameter(torch.ones(d_inner))
+            self.out_proj = torch.nn.Linear(d_inner, d_model, bias=False)
+
+        def forward(self, x):
+            raise RuntimeError("mamba_ssm is CUDA-only; not available in tests")
+
+    return _FakeMamba
+
+
 def add_reference_to_path():
     """Make the PyTorch reference importable as a parity oracle.
 
@@ -71,11 +107,7 @@ def add_reference_to_path():
         to_2tuple=lambda x: (x, x),
     )
 
-    class _FakeMamba:  # only needed so `from mamba_ssm import Mamba` resolves
-        def __init__(self, *a, **k):
-            raise RuntimeError("mamba_ssm is CUDA-only; not available in tests")
-
-    _stub_module("mamba_ssm", Mamba=_FakeMamba)
+    _stub_module("mamba_ssm", Mamba=_make_fake_mamba())
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     wfb = os.path.join(REFERENCE_ROOT, "RawFomer_WFB_FFAB")

@@ -1,0 +1,152 @@
+"""Variant-family .pth checkpoint import: WFB and FLCA round trips.
+
+The reference loads every zoo checkpoint the same way
+(``/root/reference/test.py:88-93``); these tests build the actual reference
+modules, export their state_dicts, run them through compat.torch_import and
+check (a) the resulting tree exactly matches our models' init tree and
+(b) forward agreement. For WFB the Mamba forward is CUDA-only, so parity is
+checked with the WM branch neutralised on BOTH sides (torch: ``mb`` replaced
+by Identity; flax: WM intercepted to identity) — the mamba *parameters*
+still round-trip through the importer (shape-checked via the
+parameter-faithful stub in conftest).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from bayer_low_light_image_enhancement_tpu.compat.torch_import import (
+    import_flca_state_dict,
+    import_wfb_state_dict,
+)
+
+torch = pytest.importorskip("torch")
+
+RNG = np.random.default_rng(21)
+
+
+def _tree_spec(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): tuple(np.shape(leaf)) for path, leaf in flat}
+
+
+def _assert_same_tree(ours, imported):
+    a, b = _tree_spec(ours), _tree_spec(imported)
+    assert a == b, (
+        f"missing from import: {sorted(set(a) - set(b))[:6]}; "
+        f"extra in import: {sorted(set(b) - set(a))[:6]}; "
+        f"shape diffs: {[(k, a[k], b[k]) for k in a if k in b and a[k] != b[k]][:6]}"
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_wfb():
+    from conftest import add_reference_to_path
+
+    add_reference_to_path()
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_wfb_model", "/root/reference/RawFomer_WFB_FFAB/model.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestWFBImport:
+    dim = 8
+
+    @pytest.fixture(scope="class")
+    def pair(self, ref_wfb):
+        from bayer_low_light_image_enhancement_tpu.models.wfb import (
+            RawFormerWFB,
+            RawFormerWFBConfig,
+        )
+
+        torch.manual_seed(0)
+        ref = ref_wfb.RawFormer(
+            inp_channels=1, out_channels=3, dim=self.dim, num_heads=[1, 1, 1, 1],
+            ffn_expansion_factor=2.66,
+        ).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        # model2 is constructed but never called by the reference forward
+        # (model.py:146-160); we don't instantiate it.
+        sd = {k: v for k, v in sd.items() if ".model2." not in k}
+        variables = jax.tree.map(jnp.asarray, import_wfb_state_dict(sd))
+        model = RawFormerWFB(RawFormerWFBConfig(dim=self.dim, ffn_expansion=2.66))
+        return ref, model, variables
+
+    def test_tree_matches_init(self, pair):
+        _, model, variables = pair
+        x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        init_vars = model.init(jax.random.PRNGKey(0), x)
+        _assert_same_tree(init_vars, variables)
+
+    def test_forward_parity_mamba_neutralised(self, pair):
+        ref, model, variables = pair
+        from bayer_low_light_image_enhancement_tpu.models.wfb import WM
+
+        for k in range(1, 8):
+            getattr(ref, f"conv_tran{k}").Transformer.mb = torch.nn.Identity()
+
+        x = RNG.uniform(0, 1, (1, 1, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+
+        def interceptor(next_fn, iargs, ikwargs, context):
+            if isinstance(context.module, WM) and context.method_name == "__call__":
+                return iargs[0]
+            return next_fn(*iargs, **ikwargs)
+
+        with nn.intercept_methods(interceptor):
+            got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got), expected.transpose(0, 2, 3, 1), rtol=2e-3, atol=2e-3
+        )
+
+
+class TestFLCAImport:
+    dim = 8
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from conftest import add_reference_to_path
+
+        add_reference_to_path()
+        import FrequencyawareLumaChromaAttentionRAWFormer as ref_mod
+
+        from bayer_low_light_image_enhancement_tpu.models.flca_rawformer import (
+            FLCARawFormer,
+            FLCARawFormerConfig,
+        )
+
+        torch.manual_seed(1)
+        ref = ref_mod.RawFormer(
+            inp_channels=1, out_channels=3, dim=self.dim, num_heads=[2, 2, 2, 2],
+            ffn_expansion_factor=2,
+        ).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables = jax.tree.map(jnp.asarray, import_flca_state_dict(sd))
+        model = FLCARawFormer(
+            FLCARawFormerConfig(dim=self.dim, num_heads=(2, 2, 2, 2), ffn_expansion=2)
+        )
+        return ref, model, variables
+
+    def test_tree_matches_init(self, pair):
+        _, model, variables = pair
+        x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        init_vars = model.init(jax.random.PRNGKey(0), x)
+        _assert_same_tree(init_vars, variables)
+
+    def test_forward_parity(self, pair):
+        ref, model, variables = pair
+        x = RNG.uniform(0, 1, (1, 1, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got), expected.transpose(0, 2, 3, 1), rtol=2e-3, atol=2e-3
+        )
