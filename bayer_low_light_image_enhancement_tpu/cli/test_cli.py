@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard full-resolution frames over N chips along H "
         "(halo-exchange tiling; 1 = monolithic)",
     )
+    p.add_argument(
+        "--no_fused",
+        action="store_true",
+        help="disable the fused TransformerBlock Pallas kernel at inference "
+        "(single-chip TPU path only; it is auto-disabled elsewhere)",
+    )
     return p
 
 
@@ -106,33 +112,52 @@ def main(argv=None):
         print(f"restored orbax checkpoint step {step}")
 
     if args.spatial_chips > 1:
-        if args.model:
-            raise SystemExit("--spatial_chips currently supports the canonical "
-                             "RawFormer (--model_size) only")
         from bayer_low_light_image_enhancement_tpu.core.mesh import AXES, create_mesh
-        from bayer_low_light_image_enhancement_tpu.models.rawformer import (
-            RawFormer,
-            RawFormerConfig,
-        )
         from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
             make_tiled_forward,
             shard_image,
         )
 
         mesh = create_mesh(data=1, spatial=args.spatial_chips)
-        tiled_model = RawFormer(
-            RawFormerConfig.from_size(
-                args.model_size,
-                dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-                spatial_axis=AXES.spatial,
+        dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+        if args.model:
+            from bayer_low_light_image_enhancement_tpu.models import get_model
+
+            try:
+                tiled_model = get_model(args.model, dtype=dtype, spatial_axis=AXES.spatial)
+            except TypeError:
+                raise SystemExit(
+                    f"--spatial_chips: model {args.model!r} does not support "
+                    "H-sharded inference (no spatial_axis in its config)"
+                ) from None
+        else:
+            from bayer_low_light_image_enhancement_tpu.models.rawformer import (
+                RawFormer,
+                RawFormerConfig,
             )
-        )
+
+            tiled_model = RawFormer(
+                RawFormerConfig.from_size(
+                    args.model_size, dtype=dtype, spatial_axis=AXES.spatial
+                )
+            )
         tiled_fwd = make_tiled_forward(tiled_model, mesh)
         args.pad_to = max(args.pad_to, 16 * args.spatial_chips)
 
         def fwd(p, x):
             return tiled_fwd(p, shard_image(x, mesh))
 
+    elif not args.no_fused and jax.default_backend() == "tpu":
+        # Single-chip full-res eval: TransformerBlocks run as the fused
+        # Pallas kernel (BENCHMARKS.md: VMEM-resident intermediates fix the
+        # HBM working-set thrash that makes monolithic 12MP frames slower
+        # per pixel than crops).
+        from bayer_low_light_image_enhancement_tpu.models.fused_apply import (
+            make_fused_forward,
+        )
+
+        fused = make_fused_forward(model)
+        fwd = jax.jit(lambda p, x: jnp.clip(fused(p, x), 0.0, 1.0))
     else:
         fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))
     metric_fn = jax.jit(

@@ -26,6 +26,7 @@ from bayer_low_light_image_enhancement_tpu.data import (
     SIDDataset,
     SyntheticBayerDataset,
     discover_sid_pairs,
+    prefetch_to_device,
 )
 from bayer_low_light_image_enhancement_tpu.models.rawformer import (
     RawFormer,
@@ -64,7 +65,47 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true", help="rematerialise forward in backward")
     p.add_argument("--val_every", type=int, default=1)
     p.add_argument("--save_every", type=int, default=50)
+    p.add_argument(
+        "--loader",
+        default="auto",
+        choices=["auto", "python", "native"],
+        help="training batch producer: the C++ engine (csrc/) when the "
+        "dataset is RAM-resident, or the Python thread-pool Loader",
+    )
+    p.add_argument(
+        "--device_prefetch",
+        type=int,
+        default=2,
+        help="batches staged on device ahead of the step (0 = synchronous)",
+    )
     return p
+
+
+def build_train_loader(args, train_ds):
+    """Pick the batch producer: native C++ engine when possible.
+
+    Returns (loader, kind). The native path replaces the reference's
+    16-worker DataLoader (``/root/reference/train.py:99``) with one
+    multithreaded C++ crop/flip/normalise/gather pass per batch.
+    """
+    if args.loader in ("auto", "native"):
+        from bayer_low_light_image_enhancement_tpu.data.native import (
+            NativeLoader,
+            sampler_for_dataset,
+        )
+
+        sampler = sampler_for_dataset(train_ds, seed=args.seed)
+        if sampler is not None:
+            return (
+                NativeLoader(train_ds, sampler, args.batch_size, seed=args.seed),
+                "native",
+            )
+        if args.loader == "native":
+            raise SystemExit(
+                "--loader native: the C++ engine is unavailable for this "
+                "dataset (needs a compiler and a RAM-resident training split)"
+            )
+    return Loader(train_ds, args.batch_size, shuffle=True, seed=args.seed), "python"
 
 
 def build_datasets(args):
@@ -122,7 +163,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     train_ds, val_ds = build_datasets(args)
-    train_loader = Loader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+    train_loader, loader_kind = build_train_loader(args, train_ds)
+    print(f"training batch producer: {loader_kind}")
     val_loader = Loader(val_ds, min(args.batch_size, len(val_ds)), shuffle=False, drop_last=False)
     steps_per_epoch = max(1, len(train_loader))
 
@@ -165,10 +207,16 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         epoch_loss, n_steps = 0.0, 0
-        for batch in train_loader:
-            inp, gt = batch[0], batch[1]
-            b = trainer.shard_batch((inp, gt))
-            state, loss = trainer.train_step(state, b)
+        batches = ((b[0], b[1]) for b in train_loader)
+        if args.device_prefetch > 0:
+            # Stage the H2D copy of batch N+1 while the chips run batch N.
+            batches = prefetch_to_device(
+                batches, sharding=trainer.batch_sharding, size=args.device_prefetch
+            )
+        for inp, gt in batches:
+            if args.device_prefetch <= 0:
+                inp, gt = trainer.shard_batch((inp, gt))
+            state, loss = trainer.train_step(state, (inp, gt))
             epoch_loss += float(loss)
             n_steps += 1
 

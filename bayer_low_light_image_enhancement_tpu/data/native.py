@@ -149,6 +149,118 @@ def gt16_to_float(gt16: np.ndarray, num_threads: int = 8) -> np.ndarray:
     return out
 
 
+def sampler_for_dataset(
+    dataset, seed: int = 0, device_normalize: bool = False, num_threads: int = 8
+) -> Optional["NativeBatchSampler"]:
+    """Adapt an in-RAM training dataset to a :class:`NativeBatchSampler`.
+
+    Supports any dataset holding its decoded frames in RAM:
+
+    * ``SIDDataset(preload=True)`` — uint16 mosaics in ``_shorts``, uint16
+      GTs in ``_longs`` (converted once, in parallel, via the C++
+      ``gt16_to_float``), per-pair ratios from the GT filename
+      (``/root/reference/RawFomer_WFB_FFAB/load_dataset.py:84-88``).
+    * ``SyntheticBayerDataset`` — ``mosaics``/``gts`` attributes, scalar ratio.
+
+    Returns None when the native engine can't be built, the dataset isn't a
+    training split, or its frames aren't resident in RAM.
+    """
+    if not native_available() or not getattr(dataset, "training", False):
+        return None
+    patch = getattr(dataset, "patch_size", None)
+    if not patch:
+        return None
+    if getattr(dataset, "_shorts", None) is not None:  # SIDDataset, preloaded
+        from bayer_low_light_image_enhancement_tpu.data.sid import (
+            sid_ratio_from_filename,
+        )
+
+        mosaics = dataset._shorts
+        gts = [gt16_to_float(g, num_threads) for g in dataset._longs]
+        ratios = [sid_ratio_from_filename(p) for p in dataset.long_paths]
+    elif getattr(dataset, "mosaics", None) is not None and getattr(dataset, "gts", None) is not None:
+        mosaics, gts = dataset.mosaics, dataset.gts
+        if not (mosaics and mosaics[0].dtype == np.uint16 and gts[0].dtype == np.float32):
+            return None
+        ratios = [float(getattr(dataset, "ratio", 1.0))] * len(mosaics)
+    else:
+        return None
+    if any(m.shape[0] < patch + 2 or m.shape[1] < patch + 2 for m in mosaics):
+        return None  # sampler's crop draw needs 2 rows/cols of slack
+    return NativeBatchSampler(
+        mosaics, gts, ratios, patch, seed=seed,
+        device_normalize=device_normalize, num_threads=num_threads,
+    )
+
+
+class NativeLoader:
+    """``Loader``-compatible iterator fed by the C++ batch engine.
+
+    Same epoch/shuffle discipline as ``pipeline.Loader`` (seeded permutation
+    per epoch, drop_last); batch assembly happens in native threads while a
+    single producer thread keeps a small queue ahead of the consumer —
+    functionally the reference's 16-worker DataLoader
+    (``/root/reference/train.py:99``) with the per-item Python cost removed.
+    """
+
+    def __init__(self, dataset, sampler: "NativeBatchSampler", batch_size: int,
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 4):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        import queue
+
+        epoch = self._epoch
+        self._epoch += 1
+        n = len(self.dataset)
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(n)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        batches = [order[i : i + self.batch_size] for i in range(0, end, self.batch_size)]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self.sampler.sample_batch([int(i) for i in idxs], epoch))
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
+        def gen():
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    yield item
+            finally:
+                stop.set()
+                while thread.is_alive():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        thread.join(timeout=0.1)
+
+        return gen()
+
+
 class NativeBatchSampler:
     """Batch-level sampler over an in-RAM SID-style dataset using the native
     engine; a drop-in producer for training loops.

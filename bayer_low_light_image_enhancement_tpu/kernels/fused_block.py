@@ -314,10 +314,13 @@ def fused_transformer_block(
     ffn{pointwise1, depthwise, pointwise2}).
 
     ``group``: number of images packed into the lane dimension (default
-    128 // C, when the batch divides). At RawFormer's small channel widths a
-    single image fills only C of the 128 VPU lanes and a C-wide MXU tile;
-    packing g images makes every 1x1 conv a block-diagonal [gC, gC] matmul
-    at full tile utilisation and cuts the grid-step count by g. Per-image
+    256 // C, when the batch divides — measured optimum on v5e: at
+    [8,256,256,32] g=8/256 lanes runs 1.87x XLA vs 1.39x for g=4/128 lanes;
+    two full lane tiles per vector op amortise the per-grid-step overhead).
+    At RawFormer's small channel widths a single image fills only C of the
+    128 VPU lanes and a C-wide MXU tile; packing g images makes every 1x1
+    conv a block-diagonal [gC, gC] matmul at full tile utilisation and cuts
+    the grid-step count by g. Per-image
     semantics are exact: LayerNorm means come from a block-diagonal
     averaging matmul, the [gC, gC] gram's off-diagonal (cross-image) blocks
     are discarded by the XLA finalise, and the attention-apply matrix is
@@ -326,7 +329,7 @@ def fused_transformer_block(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
-    g = group if group is not None else max(1, 128 // c)
+    g = group if group is not None else max(1, 256 // c)
     while g > 1 and b % g:
         g //= 2
     b2 = b // g

@@ -11,7 +11,7 @@ reference forward has no clamps) — matching that behaviour.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,11 +38,13 @@ class FLCAStage(nn.Module):
     ffn_expansion: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, feat, y, cr, cb):
         dim = feat.shape[-1]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         flca_feat = FLCA(name="FLCA", **kw)(feat, y, cr, cb)
         trans = TransformerBlock(
             num_heads=self.num_heads, ffn_expansion=self.ffn_expansion,
@@ -62,6 +64,7 @@ class FLCARawFormerConfig:
     ffn_expansion: int = 2
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    spatial_axis: Optional[str] = None
 
 
 class FLCARawFormer(nn.Module):
@@ -70,7 +73,8 @@ class FLCARawFormer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  spatial_axis=cfg.spatial_axis)
 
         def stage(heads, name):
             return FLCAStage(
@@ -79,7 +83,9 @@ class FLCARawFormer(nn.Module):
 
         x = x.astype(cfg.dtype)
         x_ds = space_to_depth(x, 2)  # [B, H/2, W/2, 4] (R, G1, G2, B) for RGGB
-        y, cr, cb = bayer_luma_chroma(x_ds.astype(jnp.float32))
+        y, cr, cb = bayer_luma_chroma(
+            x_ds.astype(jnp.float32), spatial_axis=cfg.spatial_axis
+        )
         y, cr, cb = (t.astype(cfg.dtype) for t in (y, cr, cb))
 
         x0 = Conv2d(cfg.dim, 3, name="embedding", **kw)(x_ds)

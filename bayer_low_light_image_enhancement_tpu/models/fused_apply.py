@@ -36,6 +36,12 @@ def _should_fuse(module: nn.Module, args, kwargs) -> bool:
         return False
     if not args or getattr(args[0], "ndim", 0) != 4:
         return False
+    if args[0].shape[-1] > 64:
+        # Measured on v5e (BENCHMARKS.md): the kernel wins where XLA is
+        # occupancy/traffic-bound (2.02x at C=32, 1.29x at C=64) and is
+        # neutral-to-losing at the deep narrow-spatial levels (1.01x at
+        # C=128, 0.94x at C=256) where XLA's lowering is already compact.
+        return False
     return True
 
 

@@ -72,11 +72,13 @@ class PyramidStage(nn.Module):
     flca_levels: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, feat, y, cr, cb):
         dim = feat.shape[-1]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         flca_feat = FLCAPyramid(levels=self.flca_levels, name="FLCA", **kw)(feat, y, cr, cb)
         trans = TransformerBlock(
             num_heads=self.num_heads, ffn_expansion=self.ffn_expansion,
@@ -99,6 +101,7 @@ class MultiLvlFLCAConfig:
     ll_nudge: float = 0.03
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    spatial_axis: Optional[str] = None
 
 
 class MultiLvlFLCARawFormer(nn.Module):
@@ -107,7 +110,8 @@ class MultiLvlFLCARawFormer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  spatial_axis=cfg.spatial_axis)
 
         def stage(heads, name):
             return PyramidStage(
@@ -117,7 +121,9 @@ class MultiLvlFLCARawFormer(nn.Module):
 
         x = x.astype(cfg.dtype)
         x_ds = space_to_depth(x, 2)
-        y, cr, cb = bayer_luma_chroma(x_ds.astype(jnp.float32))
+        y, cr, cb = bayer_luma_chroma(
+            x_ds.astype(jnp.float32), spatial_axis=cfg.spatial_axis
+        )
 
         # Deep LL anchor: 2-level Haar of y (reference :362-368).
         ll_anchor = y
@@ -160,11 +166,14 @@ class MultiLvlFLCARawFormer(nn.Module):
         out = leaky_relu(Conv2d(cfg.out_channels * 4, 3, name="conv_out", **kw)(c7), 0.2)
         out = depth_to_space(out, 2).astype(jnp.float32)
 
-        out = color_anchor_correction(out, x_ds.astype(jnp.float32), cfg.anchor_alpha)
+        out = color_anchor_correction(
+            out, x_ds.astype(jnp.float32), cfg.anchor_alpha,
+            spatial_axis=cfg.spatial_axis,
+        )
 
         # LL-anchor luminance nudge (reference :406-414).
         h, w = out.shape[1], out.shape[2]
-        ll_up = resize_bilinear(ll_anchor, h, w)
+        ll_up = resize_bilinear(ll_anchor, h, w, cfg.spatial_axis)
         wr, wg, wb = BT601
         out_y = wr * out[..., 0:1] + wg * out[..., 1:2] + wb * out[..., 2:3]
         out = out + (ll_up - out_y) * cfg.ll_nudge

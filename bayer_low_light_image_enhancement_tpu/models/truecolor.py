@@ -12,7 +12,7 @@ correction.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -42,11 +42,13 @@ class TrueColorStage(nn.Module):
     ffn_expansion: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, feat, y, cr, cb, rgb_guide):
         dim = feat.shape[-1]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         flca_feat = EnhancedFLCA(name="FLCA", **kw)(feat, y, cr, cb, rgb_guide)
         trans = TransformerBlock(
             num_heads=self.num_heads, ffn_expansion=self.ffn_expansion,
@@ -67,6 +69,7 @@ class TrueColorConfig:
     bayertorgb: bool = False  # BayerTORGBColorMultiLvl variant switches
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    spatial_axis: Optional[str] = None
 
 
 class TrueColorRawFormer(nn.Module):
@@ -75,7 +78,8 @@ class TrueColorRawFormer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  spatial_axis=cfg.spatial_axis)
 
         def stage(heads, name):
             return TrueColorStage(
@@ -122,8 +126,10 @@ class TrueColorRawFormer(nn.Module):
 
         out = jnp.maximum(Conv2d(cfg.out_channels * 4, 3, name="conv_out", **kw)(c7), 0.0)
         out = depth_to_space(out, 2)
+        cc_kw = dict(kw)
+        cc_kw.pop("spatial_axis")  # ColorCorrection is pointwise
         out = ColorCorrection(
-            bounded=cfg.bayertorgb, name="color_correction", **kw
+            bounded=cfg.bayertorgb, name="color_correction", **cc_kw
         )(out)
         return out.astype(jnp.float32)
 

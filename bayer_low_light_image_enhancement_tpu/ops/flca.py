@@ -51,15 +51,35 @@ def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def resize_bilinear(
+    x: jnp.ndarray, h: int, w: int, spatial_axis: Optional[str] = None
+) -> jnp.ndarray:
     """Bilinear resize with half-pixel centers (= torch align_corners=False,
-    no antialias). x: [B, H, W, C]."""
+    no antialias). x: [B, H, W, C].
+
+    With ``spatial_axis`` (inside shard_map, H sharded across chips), ``h``/
+    ``x`` are per-shard sizes and the result is exactly the local slice of the
+    global resize: upsampled boundary rows sample rows owned by the
+    neighbouring shard, and edge clamping is a *global*-edge property, so the
+    full H is all-gathered (guidance tensors here are 1-2 channels — cheap)
+    and each shard applies its own row-block of the global resize matrix.
+    """
     b, hi, wi, c = x.shape
-    if (hi, wi) == (h, w):
-        return x
-    wh = jnp.asarray(_bilinear_matrix(hi, h))
+    if spatial_axis is None:
+        if (hi, wi) == (h, w):
+            return x
+        wh = jnp.asarray(_bilinear_matrix(hi, h))
+        y = jnp.einsum("oh,bhwc->bowc", wh.astype(x.dtype), x)
+    else:
+        n = jax.lax.psum(1, spatial_axis)
+        if (hi, wi) == (h, w) and n == 1:
+            return x
+        xg = jax.lax.all_gather(x, spatial_axis, axis=1, tiled=True)
+        whg = jnp.asarray(_bilinear_matrix(hi * n, h * n))
+        s = jax.lax.axis_index(spatial_axis)
+        wh = jax.lax.dynamic_slice(whg, (s * h, 0), (h, hi * n))
+        y = jnp.einsum("oh,bhwc->bowc", wh.astype(x.dtype), xg)
     ww = jnp.asarray(_bilinear_matrix(wi, w))
-    y = jnp.einsum("oh,bhwc->bowc", wh.astype(x.dtype), x)
     return jnp.einsum("pw,bowc->bopc", ww.astype(x.dtype), y)
 
 
@@ -106,10 +126,11 @@ class FLCA(nn.Module):
         ll, highs = haar_dwt_fb(y.astype(jnp.float32))
         high_mag = jnp.sqrt(jnp.sum(jnp.square(highs), axis=-1) + self.eps)
 
-        y_low = resize_bilinear(ll, hf, wf).astype(self.dtype)
-        y_high = resize_bilinear(high_mag, hf, wf).astype(self.dtype)
-        cr_r = resize_bilinear(cr, hf, wf).astype(self.dtype)
-        cb_r = resize_bilinear(cb, hf, wf).astype(self.dtype)
+        sp = self.spatial_axis
+        y_low = resize_bilinear(ll, hf, wf, sp).astype(self.dtype)
+        y_high = resize_bilinear(high_mag, hf, wf, sp).astype(self.dtype)
+        cr_r = resize_bilinear(cr, hf, wf, sp).astype(self.dtype)
+        cb_r = resize_bilinear(cb, hf, wf, sp).astype(self.dtype)
 
         a_low = jax.nn.sigmoid(
             Conv2d(c, 3, use_bias=False, name="low_attn", **kw)(y_low).astype(jnp.float32)
@@ -175,8 +196,8 @@ class FLCAPyramid(nn.Module):
 
         x = feat
         for l in range(self.levels):
-            y_low = resize_bilinear(lows[l], hf, wf).astype(self.dtype)
-            y_high = resize_bilinear(highs[l], hf, wf).astype(self.dtype)
+            y_low = resize_bilinear(lows[l], hf, wf, self.spatial_axis).astype(self.dtype)
+            y_high = resize_bilinear(highs[l], hf, wf, self.spatial_axis).astype(self.dtype)
             a_low = jax.nn.sigmoid(
                 Conv2d(c, 3, use_bias=False, name=f"low_attn_{l}", **kw)(y_low).astype(jnp.float32)
             ).astype(self.dtype)
@@ -197,8 +218,8 @@ class FLCAPyramid(nn.Module):
             raw_res = res_proj(x * spatial)
             x = x + jnp.tanh(raw_res.astype(jnp.float32)).astype(x.dtype) * self.max_residual_scale
 
-        cr_r = resize_bilinear(cr.astype(jnp.float32), hf, wf).astype(self.dtype)
-        cb_r = resize_bilinear(cb.astype(jnp.float32), hf, wf).astype(self.dtype)
+        cr_r = resize_bilinear(cr.astype(jnp.float32), hf, wf, self.spatial_axis).astype(self.dtype)
+        cb_r = resize_bilinear(cb.astype(jnp.float32), hf, wf, self.spatial_axis).astype(self.dtype)
         a_chr = jax.nn.sigmoid(
             Conv2d(c, 3, use_bias=False, name="chroma_attn", **kw)(
                 jnp.concatenate([cr_r, cb_r], axis=-1)

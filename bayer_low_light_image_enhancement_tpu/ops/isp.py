@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from bayer_low_light_image_enhancement_tpu.models.common import Conv2d
+from bayer_low_light_image_enhancement_tpu.ops.conv import global_max
 from bayer_low_light_image_enhancement_tpu.ops.dwt import haar_dwt_fb
 from bayer_low_light_image_enhancement_tpu.ops.flca import SqueezeExcite, resize_bilinear
 from bayer_low_light_image_enhancement_tpu.ops.luma import BT709
@@ -38,11 +39,13 @@ class BayerProcessor(nn.Module):
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, planes: jnp.ndarray):
         """planes: [B, H, W, 4] (R, G1, G2, B) -> (y, cr, cb, rgb_linear)."""
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
 
         wb_raw = self.param("wb_gains", nn.initializers.ones, (4,), self.param_dtype)
         gains = jax.nn.softplus(wb_raw) if self.positive_gains else wb_raw
@@ -73,7 +76,8 @@ class BayerProcessor(nn.Module):
 
         wts = jnp.asarray(BT709, dtype=jnp.float32)
         y = jnp.sum(rgb_linear.astype(jnp.float32) * wts, axis=-1, keepdims=True)
-        y = y / jnp.maximum(jnp.max(y, axis=(1, 2, 3), keepdims=True), self.eps)
+        # Per-image max is global over the frame -> pmax under H-sharding.
+        y = y / jnp.maximum(global_max(y, (1, 2, 3), self.spatial_axis), self.eps)
         y = y.astype(self.dtype)
 
         chroma_in = jnp.concatenate([r, g, b, y], axis=-1)
@@ -141,12 +145,13 @@ class EnhancedFLCA(nn.Module):
         ll, highs = haar_dwt_fb(y.astype(jnp.float32))
         high_mag = jnp.sqrt(jnp.sum(jnp.square(highs), axis=-1) + self.eps)
 
-        y_r = resize_bilinear(y.astype(jnp.float32), hf, wf).astype(self.dtype)
-        y_low = resize_bilinear(ll, hf, wf).astype(self.dtype)
-        y_high = resize_bilinear(high_mag, hf, wf).astype(self.dtype)
-        cr_r = resize_bilinear(cr.astype(jnp.float32), hf, wf).astype(self.dtype)
-        cb_r = resize_bilinear(cb.astype(jnp.float32), hf, wf).astype(self.dtype)
-        rgb_r = resize_bilinear(rgb_guide.astype(jnp.float32), hf, wf).astype(self.dtype)
+        sp = self.spatial_axis
+        y_r = resize_bilinear(y.astype(jnp.float32), hf, wf, sp).astype(self.dtype)
+        y_low = resize_bilinear(ll, hf, wf, sp).astype(self.dtype)
+        y_high = resize_bilinear(high_mag, hf, wf, sp).astype(self.dtype)
+        cr_r = resize_bilinear(cr.astype(jnp.float32), hf, wf, sp).astype(self.dtype)
+        cb_r = resize_bilinear(cb.astype(jnp.float32), hf, wf, sp).astype(self.dtype)
+        rgb_r = resize_bilinear(rgb_guide.astype(jnp.float32), hf, wf, sp).astype(self.dtype)
 
         guidance = jnp.concatenate(
             [y_r, cr_r, cb_r, rgb_r[..., 0:1], rgb_r[..., 1:2]], axis=-1

@@ -191,6 +191,11 @@ class Trainer:
         return state.variables()
 
     # ------------------------------------------------------------------
+    @property
+    def batch_sharding(self):
+        """Data-axis NamedSharding for input batches (None without a mesh)."""
+        return self._batch_sharding
+
     def shard_batch(self, batch):
         if self.mesh is None:
             return batch

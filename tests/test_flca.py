@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from bayer_low_light_image_enhancement_tpu.ops.luma import bayer_luma_chroma
 from bayer_low_light_image_enhancement_tpu.ops.flca import FLCA, resize_bilinear
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 RNG = np.random.default_rng(13)

@@ -10,6 +10,8 @@ from bayer_low_light_image_enhancement_tpu.kernels.fused_attention import (
 )
 from bayer_low_light_image_enhancement_tpu.models.common import ChannelAttention
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(43)
 
 

@@ -16,6 +16,8 @@ from bayer_low_light_image_enhancement_tpu.kernels.fused_block import (
 )
 from bayer_low_light_image_enhancement_tpu.models.common import TransformerBlock
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(43)
 
 # Kernel computes in bf16 like the bf16 module config; the module here runs

@@ -15,6 +15,8 @@ from bayer_low_light_image_enhancement_tpu.compat.torch_import import (
 from bayer_low_light_image_enhancement_tpu.models.rawformer import RawFormer, RawFormerConfig
 from bayer_low_light_image_enhancement_tpu.ops.attention import channel_attention
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 RNG = np.random.default_rng(42)

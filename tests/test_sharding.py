@@ -116,6 +116,74 @@ class TestTiledRawFormer:
         )
 
 
+@pytest.mark.slow
+class TestTiledVariants:
+    """H-sharded inference == monolithic for the guided model zoo.
+
+    The reference evaluates every model full-frame (``test.py:107-116``); the
+    tiler must therefore cover the variants, whose guidance paths add sharded
+    bilinear resizes (all-gathered, ops/flca.py) and per-image global
+    reductions (pmax luma norm, pmean SE pools, color anchors)."""
+
+    def _check(self, name, n_shards=4, atol=2e-5):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        mesh = create_mesh(data=1, spatial=n_shards)
+        kw = dict(dim=8, num_heads=(2, 2, 2, 2))
+        model_mono = get_model(name, **kw)
+        model_tiled = get_model(name, spatial_axis=AXES.spatial, **kw)
+
+        x = jnp.asarray(RNG.uniform(0, 1, (1, 16 * n_shards, 32, 1)).astype(np.float32))
+        variables = model_mono.init(jax.random.PRNGKey(0), x[:, :16])
+        expected = jnp.clip(model_mono.apply(variables, x), 0.0, 1.0)
+
+        fwd = make_tiled_forward(model_tiled, mesh)
+        out = fwd(variables, shard_image(x, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=atol
+        )
+
+    def test_flca_rawformer_tiled(self):
+        self._check("flca_rawformer")
+
+    def test_truecolor_tiled(self):
+        self._check("truecolor_rawformer")
+
+    def test_bayertorgb_tiled(self):
+        self._check("bayertorgb_rawformer")
+
+    def test_multilvl_flca_tiled(self):
+        self._check("multilvl_flca_rawformer")
+
+
+class TestShardedResize:
+    def test_sharded_resize_matches_global(self):
+        from bayer_low_light_image_enhancement_tpu.ops.flca import resize_bilinear
+
+        mesh = create_mesh(data=1, spatial=8)
+        x = jnp.asarray(RNG.standard_normal((2, 32, 12, 3)).astype(np.float32))
+        for h_out, w_out in [(64, 24), (16, 6), (32, 5), (128, 12)]:
+            expected = resize_bilinear(x, h_out, w_out)
+
+            def local(x_l):
+                return resize_bilinear(x_l, h_out // 8, w_out, AXES.spatial)
+
+            sharded = jax.jit(
+                jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=P(None, AXES.spatial), out_specs=P(None, AXES.spatial),
+                )
+            )
+            np.testing.assert_allclose(
+                np.asarray(sharded(x)), np.asarray(expected), rtol=1e-6, atol=1e-6,
+                err_msg=f"resize to ({h_out},{w_out})",
+            )
+
+
 class TestDataParallelEquivalence:
     def test_dp_train_step_matches_single_device(self):
         from bayer_low_light_image_enhancement_tpu.train.trainer import (

@@ -22,6 +22,8 @@ from bayer_low_light_image_enhancement_tpu.compat.torch_import import (
     import_wfb_state_dict,
 )
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 RNG = np.random.default_rng(21)

@@ -11,6 +11,8 @@ from bayer_low_light_image_enhancement_tpu.ops.ssm import (
     selective_scan_ref,
 )
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 RNG = np.random.default_rng(11)
