@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bayer_low_light_image_enhancement_tpu.models.fused_apply import (
+        make_fused_forward,
+    )
     from bayer_low_light_image_enhancement_tpu.models.rawformer import (
         RawFormer,
         RawFormerConfig,
@@ -33,6 +36,13 @@ def main():
 
     cfg = RawFormerConfig.from_size("S", dtype=jnp.bfloat16)
     model = RawFormer(cfg)
+    # Production inference path (same as cli/test_cli.py): TransformerBlocks
+    # at C<=64 run as the fused Pallas kernel on TPU; plain XLA elsewhere.
+    apply_fn = (
+        make_fused_forward(model)
+        if jax.default_backend() == "tpu"
+        else model.apply
+    )
 
     batch, h, w = 8, 512, 512
     rng = np.random.default_rng(0)
@@ -56,7 +66,7 @@ def main():
     @jax.jit
     def run_n(params, x):
         def body(carry, _):
-            y = model.apply(params, carry)
+            y = apply_fn(params, carry)
             # Feed a cheap function of the output back in to serialise steps.
             nxt = x + jnp.mean(y, axis=-1, keepdims=True) * 1e-6
             return nxt, ()
