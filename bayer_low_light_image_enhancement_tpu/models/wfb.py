@@ -69,13 +69,24 @@ class IlluminationEstimator(nn.Module):
 
 
 class WM(nn.Module):
-    """Wavelet-Mamba high-band processor (model.py:138-172)."""
+    """Wavelet-Mamba high-band processor (model.py:138-172).
+
+    ``ref_token_layout=False`` (default) feeds the SSM natural NHWC pixel
+    tokens. ``True`` reproduces the reference's exact (accidental) layouts
+    for checkpoint-for-checkpoint output parity: the input ``reshape(b,-1,c)``
+    on NCHW memory scrambles channels into the token axis (model.py:168),
+    and the output ``permute(0,2,1).reshape(b,c,h,w)`` (model.py:170-171)
+    reinterprets token index as channel-major space — the two mappings are
+    NOT inverses of each other, and the selective scan is order-dependent,
+    so the layouts change the function computed.
+    """
 
     d_state: int = 32
     d_conv: int = 4
     expand: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    ref_token_layout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +97,10 @@ class WM(nn.Module):
         y = Conv2d(c, 3, name="convb_1", **kw)(y)
         x = y + x
 
-        tokens = x.reshape(b, h * w, c)
+        if self.ref_token_layout:
+            tokens = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, h * w, c)
+        else:
+            tokens = x.reshape(b, h * w, c)
         tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln")(
             tokens.astype(jnp.float32)
         ).astype(self.dtype)
@@ -99,7 +113,12 @@ class WM(nn.Module):
             param_dtype=self.param_dtype,
             name="model1",
         )(tokens)
-        out = tokens.reshape(b, h, w, c)
+        if self.ref_token_layout:
+            out = jnp.transpose(
+                jnp.transpose(tokens, (0, 2, 1)).reshape(b, c, h, w), (0, 2, 3, 1)
+            )
+        else:
+            out = tokens.reshape(b, h, w, c)
         return Conv2d(c, 3, name="smooth", **kw)(out)
 
 
@@ -109,6 +128,7 @@ class WMB(nn.Module):
     ffn_expansion: float = 2.66
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    ref_token_layout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -123,7 +143,7 @@ class WMB(nn.Module):
 
         ll, _ = IlluminationEstimator(dim, dim, name="illu", **kw)(ll)
         ll = FFAB(name="ffab", **kw)(ll)
-        high = WM(name="mb", **kw)(high)
+        high = WM(name="mb", ref_token_layout=self.ref_token_layout, **kw)(high)
 
         out = haar_iwt_stack(jnp.concatenate([ll, high], axis=0))
         out = jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)  # inverse_data_transform
@@ -141,13 +161,15 @@ class ConvWMB(nn.Module):
     ffn_expansion: float = 2.66
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    ref_token_layout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dim = x.shape[-1]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         conv = leaky_relu(Conv2d(dim, 3, name="conv", **kw)(x), 0.2)
-        trans = WMB(ffn_expansion=self.ffn_expansion, name="Transformer", **kw)(x, train)
+        trans = WMB(ffn_expansion=self.ffn_expansion, name="Transformer",
+                    ref_token_layout=self.ref_token_layout, **kw)(x, train)
         y = jnp.concatenate([conv, trans], axis=-1)
         y = Conv2d(dim, 1, name="channel_reduce", **kw)(y)
         return leaky_relu(Conv2d(dim, 3, name="conv_out", **kw)(y), 0.2)
@@ -162,6 +184,9 @@ class RawFormerWFBConfig:
     clamp_io: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # Reproduce the reference WM's exact token layouts (see WM docstring);
+    # only for checkpoint-port output parity, not for from-scratch training.
+    ref_token_layout: bool = False
 
 
 class RawFormerWFB(nn.Module):
@@ -175,7 +200,8 @@ class RawFormerWFB(nn.Module):
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 
         def stage(name):
-            return ConvWMB(ffn_expansion=cfg.ffn_expansion, name=name, **kw)
+            return ConvWMB(ffn_expansion=cfg.ffn_expansion, name=name,
+                           ref_token_layout=cfg.ref_token_layout, **kw)
 
         if cfg.clamp_io:
             x = jnp.clip(x, 0.0, 1.0)

@@ -49,23 +49,26 @@ def _stub_module(name: str, **attrs):
 
 
 def _make_fake_mamba():
-    """A parameter-faithful stand-in for mamba_ssm.Mamba.
+    """A parameter- AND math-faithful stand-in for mamba_ssm.Mamba.
 
     Declares the exact parameter tree of the CUDA module (so reference
-    checkpoints/state_dicts round-trip through compat.torch_import) but has
-    no forward — the selective-scan kernel is CUDA-only. Checkpoint-port
-    tests exercise the real names/shapes; forward-parity tests neutralise
-    the WM branch on both sides (mamba excepted, documented).
+    checkpoints/state_dicts round-trip through compat.torch_import) and
+    implements the selective-scan reference math in plain torch (the
+    sequential recurrence `selective_scan_ref` from the public mamba_ssm
+    repo) so full reference-model forwards are comparable in tests without
+    the CUDA kernel.
     """
     import math
 
     import torch
+    import torch.nn.functional as F
 
     class _FakeMamba(torch.nn.Module):
         def __init__(self, d_model, d_state=16, d_conv=4, expand=2, **_):
             super().__init__()
             d_inner = expand * d_model
             dt_rank = math.ceil(d_model / 16)
+            self.d_state, self.d_conv, self.dt_rank = d_state, d_conv, dt_rank
             self.in_proj = torch.nn.Linear(d_model, 2 * d_inner, bias=False)
             self.conv1d = torch.nn.Conv1d(
                 d_inner, d_inner, d_conv, groups=d_inner, bias=True
@@ -79,7 +82,31 @@ def _make_fake_mamba():
             self.out_proj = torch.nn.Linear(d_inner, d_model, bias=False)
 
         def forward(self, x):
-            raise RuntimeError("mamba_ssm is CUDA-only; not available in tests")
+            """x: [B, L, D] -> [B, L, D]; fp32 recurrence like the kernel."""
+            b, l, _ = x.shape
+            xz = self.in_proj(x)
+            xi, z = xz.chunk(2, dim=-1)
+            # Causal depthwise conv over tokens (mamba pads d_conv-1 and
+            # truncates to L; equivalent to a pure left pad).
+            xc = self.conv1d(F.pad(xi.transpose(1, 2), (self.d_conv - 1, 0)))
+            xc = F.silu(xc.transpose(1, 2))
+            x_dbl = self.x_proj(xc)
+            dt, B, C = torch.split(
+                x_dbl, [self.dt_rank, self.d_state, self.d_state], dim=-1
+            )
+            dt = F.softplus(self.dt_proj(dt)).float()  # [B, L, d_inner]
+            A = -torch.exp(self.A_log.float())  # [d_inner, N]
+            u, Bm, Cm = xc.float(), B.float(), C.float()
+            h = torch.zeros(b, A.shape[0], self.d_state)
+            ys = []
+            for t in range(l):
+                dA = torch.exp(dt[:, t, :, None] * A)  # [B, d_inner, N]
+                dBu = dt[:, t, :, None] * Bm[:, t, None, :] * u[:, t, :, None]
+                h = dA * h + dBu
+                ys.append(torch.einsum("bdn,bn->bd", h, Cm[:, t]))
+            y = torch.stack(ys, dim=1) + u * self.D.float()
+            y = y * F.silu(z.float())
+            return self.out_proj(y.to(x.dtype))
 
     return _FakeMamba
 

@@ -4,11 +4,13 @@ The reference loads every zoo checkpoint the same way
 (``/root/reference/test.py:88-93``); these tests build the actual reference
 modules, export their state_dicts, run them through compat.torch_import and
 check (a) the resulting tree exactly matches our models' init tree and
-(b) forward agreement. For WFB the Mamba forward is CUDA-only, so parity is
-checked with the WM branch neutralised on BOTH sides (torch: ``mb`` replaced
-by Identity; flax: WM intercepted to identity) — the mamba *parameters*
-still round-trip through the importer (shape-checked via the
-parameter-faithful stub in conftest).
+(b) forward agreement. For WFB forward parity runs twice: once with the WM
+branch neutralised on BOTH sides (torch: ``mb`` replaced by Identity; flax:
+WM intercepted to identity) to localise failures outside the SSM, and once
+FULL — conftest's Mamba stub implements the selective-scan reference
+recurrence in torch, and ``ref_token_layout=True`` reproduces the reference
+WM's exact (accidental) token mappings, so every parameter incl. the mamba
+tree is exercised end-to-end.
 """
 
 import numpy as np
@@ -105,6 +107,38 @@ class TestWFBImport:
 
         with nn.intercept_methods(interceptor):
             got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got), expected.transpose(0, 2, 3, 1), rtol=2e-3, atol=2e-3
+        )
+
+    def test_forward_parity_full(self, pair, ref_wfb):
+        """Full imported-checkpoint forward agreement, selective scan included.
+
+        Rebuilds the reference model (the neutralised test above mutates the
+        shared fixture's ``mb`` modules) with the same seed; the conftest
+        Mamba stub supplies the reference recurrence math on the torch side,
+        and ``ref_token_layout=True`` matches the reference WM's layout
+        semantics on ours.
+        """
+        from bayer_low_light_image_enhancement_tpu.models.wfb import (
+            RawFormerWFB,
+            RawFormerWFBConfig,
+        )
+
+        _, _, variables = pair
+        torch.manual_seed(0)
+        ref = ref_wfb.RawFormer(
+            inp_channels=1, out_channels=3, dim=self.dim, num_heads=[1, 1, 1, 1],
+            ffn_expansion_factor=2.66,
+        ).eval()
+        model = RawFormerWFB(
+            RawFormerWFBConfig(dim=self.dim, ffn_expansion=2.66, ref_token_layout=True)
+        )
+
+        x = RNG.uniform(0, 1, (1, 1, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
         np.testing.assert_allclose(
             np.asarray(got), expected.transpose(0, 2, 3, 1), rtol=2e-3, atol=2e-3
         )
