@@ -104,20 +104,20 @@ def _dw3x3(z, w_ref):
     return acc.astype(_BF16)
 
 
-def _real_mask(i, th, hw_ref, rows, wp, row_off, col_off, dtype=_BF16):
+def _real_mask(i, th, hw_ref, rows, wp, row_off, col_off, col_base=0, dtype=_BF16):
     """Mask of pixels inside the real image.
 
     Tensor row o maps to global row i*th + o + row_off; column c maps to
-    global column c + col_off. (Windows start 2 rows/cols before the tile so
-    raw window coords have row_off=-2, col_off=-2; each dw3x3 adds +1 to the
-    column offset.)
+    global column col_base + c + col_off (col_base = W-tile origin j*tw).
+    (Windows start 2 rows/cols before the tile so raw window coords have
+    row_off=-2, col_off=-2; each dw3x3 adds +1 to the column offset.)
     """
     h_real = hw_ref[0]
     w_real = hw_ref[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 1)
     g = i * th + ri + row_off
-    c = ci + col_off
+    c = col_base + ci + col_off
     ok = (g >= 0) & (g < h_real) & (c >= 0) & (c < w_real)
     return ok.astype(dtype)
 
@@ -148,9 +148,19 @@ def _matmul(x, w_ref, out_dtype=_BF16):
     ).astype(out_dtype)
 
 
+def _win(prev_ref, cur_ref, nxt_ref, th):
+    """Assemble the (th+4)-row halo window from three consecutive th-row
+    blocks (leading-dim slices + concat — free on TPU). Boundary tiles read
+    row-clamped neighbour blocks whose halo rows are garbage; every consumer
+    masks them via ``_real_mask`` (they map outside [0, H_real))."""
+    return jnp.concatenate(
+        [prev_ref[0, 0, th - 2 :], cur_ref[0, 0], nxt_ref[0, 0, :2]], axis=0
+    )
+
+
 def _gram_kernel(
     hw_ref,  # scalar prefetch: [2] int32 (H_real, W_real)
-    win_ref,  # [1, 1, R, Wp, C]
+    prev_ref, cur_ref, nxt_ref,  # [1, th, Wp, C] consecutive row blocks
     mavg_ref,            # (C, C) f32 block-diagonal segment-mean matrix
     ln1w_ref, ln1b_ref,  # (1, C)
     wq_ref, bq_ref,      # (C, C), (1, C)
@@ -162,29 +172,32 @@ def _gram_kernel(
     kss_ref,   # out (1, 1, C) f32
     *,
     th: int,
+    tw: int,
 ):
-    i = pl.program_id(1)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    cb = j * tw
 
-    @pl.when(i == 0)
+    @pl.when((j == 0) & (i == 0))
     def _init():
         gram_ref[...] = jnp.zeros_like(gram_ref)
         qss_ref[...] = jnp.zeros_like(qss_ref)
         kss_ref[...] = jnp.zeros_like(kss_ref)
 
-    x = win_ref[0, 0]  # [R, Wp, C] bf16
+    x = _win(prev_ref, cur_ref, nxt_ref, th)  # [R, Wp4, C] bf16
     r, wp, _ = x.shape
-    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2)
+    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb)
     xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref) * m0.astype(_F32)).astype(_BF16)
 
-    # Gram contributions only from this tile's own th rows (halo rows belong
-    # to the neighbouring tiles) and real columns; the dw3x3 output carries a
-    # +1 column offset.
+    # Gram contributions only from this tile's own th x tw pixels (halo
+    # rows/cols belong to the neighbouring tiles) and real rows/cols; the
+    # dw3x3 output carries a +1 column offset.
     h_real = hw_ref[0]
     w_real = hw_ref[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (r - 2, wp, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (r - 2, wp, 1), 1)
     own = (ri >= 1) & (ri < th + 1) & (i * th + ri - 1 < h_real)
-    own &= (ci >= 1) & (ci - 1 < w_real)
+    own &= (ci >= 1) & (ci < tw + 1) & (cb + ci - 1 < w_real)
     mg = own.astype(_BF16)
 
     q = _dw3x3((_matmul(xn, wq_ref) + bq_ref[0]) * m0, dwq_ref)
@@ -211,7 +224,7 @@ def _gram_kernel(
 
 def _apply_ffn_kernel(
     hw_ref,
-    win_ref,   # [1, 1, R, Wp, C]
+    prev_ref, cur_ref, nxt_ref,  # [1, th, Wp, C] consecutive row blocks
     mavg_ref,   # (C, C) f32
     apply_ref,  # (1, C, C) f32 — attn^T @ Wproj, per image (block-diag per group)
     ln1w_ref, ln1b_ref,
@@ -222,18 +235,24 @@ def _apply_ffn_kernel(
     wp1_ref, bp1_ref,    # (C, Ch), (1, Ch)
     dwf_ref, bdwf_ref,   # (3, 3, Ch), (1, Ch)
     wp2_ref, bp2_ref,    # (Ch, C), (1, C)
-    out_ref,   # [1, th, Wp, C]
+    out_ref,   # [1, th, tw, C]
     *,
     th: int,
+    tw: int,
 ):
-    i = pl.program_id(1)
-    x = win_ref[0, 0]
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    cb = j * tw
+    x = _win(prev_ref, cur_ref, nxt_ref, th)
     r, wp, _ = x.shape
-    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2)
+    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb)
+    # Clamped boundary halo rows carry garbage (see _win); zero them in x
+    # itself so the first-residual add (which uses raw x rows) stays exact.
+    x = x * m0
     xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref) * m0.astype(_F32)).astype(_BF16)
 
     # v branch; mv masks real pixels at the dw output's +1 column offset.
-    mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1)
+    mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1, col_base=cb)
     v = _dw3x3((_matmul(xn, wv_ref) + bv_ref[0]) * m0, dwv_ref)
     v = (v + bdwv_ref[0]) * mv
 
@@ -257,7 +276,9 @@ def _apply_ffn_kernel(
 
     # Second residual: y rows [1, th+1) with one more column roll (+2 offset).
     out = jnp.roll(y[1 : th + 1], -1, axis=1) + f
-    out_ref[0] = out.astype(out_ref.dtype)
+    # Columns [0, tw) of the (+2-offset) result are exactly this W-tile's
+    # owned global columns [cb, cb+tw).
+    out_ref[0] = out[:, :tw].astype(out_ref.dtype)
 
 
 def finalize_attention(gram, qss, kss, temperature, wproj, num_heads):
@@ -285,7 +306,7 @@ def finalize_attention(gram, qss, kss, temperature, wproj, num_heads):
 
 
 def _replicated(shape):
-    return pl.BlockSpec(shape, lambda b, i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.BlockSpec(shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM)
 
 
 def _block_diag(w, g):
@@ -304,6 +325,7 @@ def fused_transformer_block(
     params: Dict[str, Any],
     num_heads: int,
     tile_rows: int = 8,
+    tile_cols: Optional[int] = None,
     group: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -338,7 +360,19 @@ def fused_transformer_block(
     th = tile_rows
     hp = -(-h // th) * th
     nt = hp // th
-    r, wp = th + 4, w + 4
+    # W-tiling bounds per-step VMEM for wide frames (a 4240-col row block
+    # made the Mosaic compile explode); whole-W tiles below the threshold.
+    # Lanes pad to 128: at cg<128 every VMEM tensor wastes 128/cg x, so the
+    # auto W-tile shrinks to keep scoped VMEM in budget on wide frames.
+    if tile_cols is not None:
+        tw = tile_cols
+    elif w <= 1536:
+        tw = w
+    else:
+        tw = 512 if g * c >= 128 else 256
+    wpad = -(-w // tw) * tw
+    nw = wpad // tw
+    r, wp = th + 4, tw + 4
 
     dtype_in = x.dtype
     xg = x.astype(_BF16)
@@ -347,10 +381,18 @@ def fused_transformer_block(
         xg = jnp.transpose(xg.reshape(b2, g, h, w, c), (0, 2, 3, 1, 4)).reshape(
             b2, h, w, cg
         )
-    xpad = jnp.pad(xg, ((0, 0), (2, 2 + hp - h), (2, 2), (0, 0)))
-    windows = jnp.stack(
-        [xpad[:, i * th : i * th + r] for i in range(nt)], axis=1
-    )  # [B2, nt, R, Wp, Cg]
+    # Row blocks of th rows; halo windows are assembled in-kernel from the
+    # prev/cur/next blocks (clamped at the edges, garbage rows masked) —
+    # materialising nt overlapping windows cost an extra ~3x HBM round trip
+    # of x and made full-resolution graphs explode at compile time. W-tiles
+    # (nw is small) are stacked host-side with their 4 halo columns.
+    xpad = jnp.pad(xg, ((0, 0), (0, hp - h), (2, 2 + wpad - w), (0, 0)))
+    if nw == 1:
+        xw = xpad[:, None]  # [B2, 1, hp, Wp4, Cg]
+    else:
+        xw = jnp.stack(
+            [xpad[:, :, jj * tw : jj * tw + tw + 4] for jj in range(nw)], axis=1
+        )
     hw = jnp.asarray([h, w], jnp.int32)
 
     p_attn = params["attn"]
@@ -377,17 +419,24 @@ def fused_transformer_block(
     tile_dw = lambda k: jnp.tile(k, (1, 1, g))
     mavg = _block_diag(jnp.full((c, c), 1.0 / c, _F32), g)
 
-    win_spec = pl.BlockSpec(
-        (1, 1, r, wp, cg), lambda bb, i, *_: (bb, i, 0, 0, 0), memory_space=pltpu.VMEM
+    blk = lambda f: pl.BlockSpec(
+        (1, 1, th, wp, cg),
+        lambda bb, j, i, *_: (bb, j, f(i), 0, 0),
+        memory_space=pltpu.VMEM,
     )
+    win_specs = [
+        blk(lambda i: jnp.maximum(i - 1, 0)),
+        blk(lambda i: i),
+        blk(lambda i: jnp.minimum(i + 1, nt - 1)),
+    ]
 
     gram, qss, kss = pl.pallas_call(
-        functools.partial(_gram_kernel, th=th),
+        functools.partial(_gram_kernel, th=th, tw=tw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b2, nt),
+            grid=(b2, nw, nt),
             in_specs=[
-                win_spec,
+                *win_specs,
                 _replicated((cg, cg)),
                 _replicated((1, cg)), _replicated((1, cg)),
                 _replicated((cg, cg)), _replicated((1, cg)),
@@ -396,9 +445,9 @@ def fused_transformer_block(
                 _replicated((3, 3, cg)), _replicated((1, cg)),
             ],
             out_specs=[
-                pl.BlockSpec((1, cg, cg), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cg), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cg), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cg, cg), lambda bb, j, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cg), lambda bb, j, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cg), lambda bb, j, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
@@ -406,9 +455,10 @@ def fused_transformer_block(
             jax.ShapeDtypeStruct((b2, 1, cg), _F32),
             jax.ShapeDtypeStruct((b2, 1, cg), _F32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        hw, windows, mavg,
+        hw, xw, xw, xw, mavg,
         tile_v(ln1w), tile_v(ln1b),
         bd(wqkv[:, :c]), tile_v(bqkv[:c]),
         bd(wqkv[:, c : 2 * c]), tile_v(bqkv[c : 2 * c]),
@@ -443,14 +493,14 @@ def fused_transformer_block(
         apply = apply_img
 
     out = pl.pallas_call(
-        functools.partial(_apply_ffn_kernel, th=th),
+        functools.partial(_apply_ffn_kernel, th=th, tw=tw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b2, nt),
+            grid=(b2, nw, nt),
             in_specs=[
-                win_spec,
+                *win_specs,
                 _replicated((cg, cg)),
-                pl.BlockSpec((1, cg, cg), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cg, cg), lambda bb, j, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
                 _replicated((1, cg)), _replicated((1, cg)),
                 _replicated((cg, cg)), _replicated((1, cg)),
                 _replicated((3, 3, cg)), _replicated((1, cg)),
@@ -461,13 +511,14 @@ def fused_transformer_block(
                 _replicated((g * ch_hidden, cg)), _replicated((1, cg)),
             ],
             out_specs=pl.BlockSpec(
-                (1, th, wp, cg), lambda bb, i, *_: (bb, i, 0, 0), memory_space=pltpu.VMEM
+                (1, th, tw, cg), lambda bb, j, i, *_: (bb, i, j, 0), memory_space=pltpu.VMEM
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((b2, hp, wp, cg), dtype_in),
+        out_shape=jax.ShapeDtypeStruct((b2, hp, wpad, cg), dtype_in),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        hw, windows, mavg, apply,
+        hw, xw, xw, xw, mavg, apply,
         tile_v(ln1w), tile_v(ln1b),
         bd(wqkv[:, 2 * c :]), tile_v(bqkv[2 * c :]),
         tile_dw(wdw[:, :, 2 * c :]), tile_v(bdw[2 * c :]),
