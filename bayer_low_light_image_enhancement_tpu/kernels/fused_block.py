@@ -104,20 +104,36 @@ def _dw3x3(z, w_ref):
     return acc.astype(_BF16)
 
 
-def _real_mask(i, th, hw_ref, rows, wp, row_off, col_off, col_base=0, dtype=_BF16):
+def _seg_off(cg, c_img, g_sp, w_seg):
+    """Per-lane global-column offset under spatial (W-segment) lane packing.
+
+    Lane l belongs to packed image l//c_img whose W-segment index is
+    (l//c_img) % g_sp; its columns start at seg*w_seg globally, and the
+    segment carries its own 2 host halo columns (hence the extra -2).
+    Returns [1, 1, cg] int32; 0 when packing is off."""
+    if g_sp == 1:
+        return 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cg), 2)
+    return ((lane // c_img) % g_sp) * w_seg - 2
+
+
+def _real_mask(i, th, hw_ref, rows, wp, row_off, col_off, col_base=0,
+               seg=0, dtype=_BF16):
     """Mask of pixels inside the real image.
 
     Tensor row o maps to global row i*th + o + row_off; column c maps to
-    global column col_base + c + col_off (col_base = W-tile origin j*tw).
-    (Windows start 2 rows/cols before the tile so raw window coords have
-    row_off=-2, col_off=-2; each dw3x3 adds +1 to the column offset.)
+    global column col_base + c + col_off + seg (col_base = W-tile origin
+    j*tw; seg = per-lane segment offset under spatial packing, see
+    ``_seg_off``). (Windows start 2 rows/cols before the tile so raw window
+    coords have row_off=-2, col_off=-2; each dw3x3 adds +1 to the column
+    offset.)
     """
     h_real = hw_ref[0]
     w_real = hw_ref[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 1)
     g = i * th + ri + row_off
-    c = col_base + ci + col_off
+    c = col_base + ci + col_off + seg
     ok = (g >= 0) & (g < h_real) & (c >= 0) & (c < w_real)
     return ok.astype(dtype)
 
@@ -173,6 +189,9 @@ def _gram_kernel(
     *,
     th: int,
     tw: int,
+    c_img: int,
+    g_sp: int,
+    w_seg: int,
 ):
     j = pl.program_id(1)
     i = pl.program_id(2)
@@ -185,8 +204,10 @@ def _gram_kernel(
         kss_ref[...] = jnp.zeros_like(kss_ref)
 
     x = _win(prev_ref, cur_ref, nxt_ref, th)  # [R, Wp4, C] bf16
-    r, wp, _ = x.shape
-    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb)
+    r, wp, cg = x.shape
+    seg = _seg_off(cg, c_img, g_sp, w_seg)
+    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
+                    seg=seg)
     xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref) * m0.astype(_F32)).astype(_BF16)
 
     # Gram contributions only from this tile's own th x tw pixels (halo
@@ -197,7 +218,10 @@ def _gram_kernel(
     ri = jax.lax.broadcasted_iota(jnp.int32, (r - 2, wp, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (r - 2, wp, 1), 1)
     own = (ri >= 1) & (ri < th + 1) & (i * th + ri - 1 < h_real)
-    own &= (ci >= 1) & (ci < tw + 1) & (cb + ci - 1 < w_real)
+    # Owned (non-halo) columns; under spatial packing each lane segment
+    # owns w_seg data columns starting 2 cols into its packed strip.
+    lo, ln = (3, w_seg) if g_sp > 1 else (1, tw)
+    own &= (ci >= lo) & (ci < lo + ln) & (cb + ci - 1 + seg < w_real)
     mg = own.astype(_BF16)
 
     q = _dw3x3((_matmul(xn, wq_ref) + bq_ref[0]) * m0, dwq_ref)
@@ -239,20 +263,27 @@ def _apply_ffn_kernel(
     *,
     th: int,
     tw: int,
+    c_img: int,
+    ch_img: int,
+    g_sp: int,
+    w_seg: int,
 ):
     j = pl.program_id(1)
     i = pl.program_id(2)
     cb = j * tw
     x = _win(prev_ref, cur_ref, nxt_ref, th)
-    r, wp, _ = x.shape
-    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb)
+    r, wp, cg = x.shape
+    seg = _seg_off(cg, c_img, g_sp, w_seg)
+    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
+                    seg=seg)
     # Clamped boundary halo rows carry garbage (see _win); zero them in x
     # itself so the first-residual add (which uses raw x rows) stays exact.
     x = x * m0
     xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref) * m0.astype(_F32)).astype(_BF16)
 
     # v branch; mv masks real pixels at the dw output's +1 column offset.
-    mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1, col_base=cb)
+    mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1, col_base=cb,
+                    seg=seg)
     v = _dw3x3((_matmul(xn, wv_ref) + bv_ref[0]) * m0, dwv_ref)
     v = (v + bdwv_ref[0]) * mv
 
@@ -269,7 +300,15 @@ def _apply_ffn_kernel(
     y = jnp.roll(x[1 : r - 1], -1, axis=1) + att  # [th+2, Wp, C], col off +1
 
     yn = (_ln(y.astype(_F32), ln2w_ref, ln2b_ref, mavg_ref) * mv.astype(_F32)).astype(_BF16)
-    t = (_matmul(yn, wp1_ref) + bp1_ref[0]) * mv
+    # Hidden-width copy of mv: under spatial packing masks are per-lane and
+    # the FFN hidden tensor has ch_img (not c_img) lanes per packed image.
+    if g_sp > 1:
+        nh = wp1_ref.shape[1]
+        mv_h = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1,
+                          col_base=cb, seg=_seg_off(nh, ch_img, g_sp, w_seg))
+    else:
+        mv_h = mv
+    t = (_matmul(yn, wp1_ref) + bp1_ref[0]) * mv_h
     f = _dw3x3(t, dwf_ref) + bdwf_ref[0]  # [th, Wp, Ch], col offset +2
     f = _gelu_exact(f.astype(_F32)).astype(_BF16)
     f = _matmul(f, wp2_ref) + bp2_ref[0]
@@ -351,9 +390,32 @@ def fused_transformer_block(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
-    g = group if group is not None else max(1, 256 // c)
+    g_target = group if group is not None else max(1, 256 // c)
+    g = g_target
     while g > 1 and b % g:
         g //= 2
+    # Spatial lane packing: when the batch alone can't fill the lane target
+    # (single full-resolution frames), split W into g_sp segments (each with
+    # 2 host halo columns) and pack those as extra lane images. The gram is
+    # re-summed across a frame's segments in the XLA finalise, so the
+    # attention stays global over the whole image.
+    g_sp = max(1, g_target // g)
+    # w_seg rounds to a sublane multiple (8): unaligned strip widths ripple
+    # into every kernel tensor and Mosaic compile time explodes.
+    w_seg = -(-w // (8 * g_sp)) * 8
+    while g_sp > 1 and w_seg < 64:
+        g_sp //= 2
+        w_seg = -(-w // (8 * g_sp)) * 8
+    if g_sp > 1:
+        wq = g_sp * w_seg
+        xs = jnp.pad(x, ((0, 0), (0, 0), (2, 2 + wq - w), (0, 0)))
+        x = jnp.stack(
+            [xs[:, :, jj * w_seg : jj * w_seg + w_seg + 4] for jj in range(g_sp)],
+            axis=1,
+        ).reshape(b * g_sp, h, w_seg + 4, c)
+        b_img, w_img = b, w  # original geometry for the finalise/unpack
+        b, w = b * g_sp, w_seg + 4
+        g *= g_sp
     b2 = b // g
     cg = g * c
 
@@ -393,7 +455,7 @@ def fused_transformer_block(
         xw = jnp.stack(
             [xpad[:, :, jj * tw : jj * tw + tw + 4] for jj in range(nw)], axis=1
         )
-    hw = jnp.asarray([h, w], jnp.int32)
+    hw = jnp.asarray([h, w if g_sp == 1 else w_img], jnp.int32)
 
     p_attn = params["attn"]
     wqkv = jnp.reshape(p_attn["qkv"]["kernel"], (c, 3 * c))
@@ -431,7 +493,8 @@ def fused_transformer_block(
     ]
 
     gram, qss, kss = pl.pallas_call(
-        functools.partial(_gram_kernel, th=th, tw=tw),
+        functools.partial(_gram_kernel, th=th, tw=tw, c_img=c, g_sp=g_sp,
+                          w_seg=w_seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),
@@ -479,9 +542,18 @@ def fused_transformer_block(
     else:
         gram_img, qss_img, kss_img = gram, qss[:, 0], kss[:, 0]
 
+    if g_sp > 1:
+        # One gram per frame: sum the per-segment partial grams/sumsqs, then
+        # share the resulting apply matrix across that frame's segments.
+        gram_img = gram_img.reshape(b_img, g_sp, c, c).sum(axis=1)
+        qss_img = qss_img.reshape(b_img, g_sp, c).sum(axis=1)
+        kss_img = kss_img.reshape(b_img, g_sp, c).sum(axis=1)
+
     apply_img = finalize_attention(
         gram_img, qss_img, kss_img, temperature, wproj, num_heads
     )  # [B, C, C]
+    if g_sp > 1:
+        apply_img = jnp.repeat(apply_img, g_sp, axis=0)
     if g > 1:
         blocks = apply_img.reshape(b2, g, c, c)
         apply = jnp.zeros((b2, cg, cg), _F32)
@@ -493,7 +565,8 @@ def fused_transformer_block(
         apply = apply_img
 
     out = pl.pallas_call(
-        functools.partial(_apply_ffn_kernel, th=th, tw=tw),
+        functools.partial(_apply_ffn_kernel, th=th, tw=tw, c_img=c,
+                          ch_img=ch_hidden, g_sp=g_sp, w_seg=w_seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),
@@ -534,4 +607,9 @@ def fused_transformer_block(
         out = jnp.transpose(out.reshape(b2, h, w, g, c), (0, 3, 1, 2, 4)).reshape(
             b, h, w, c
         )
+    if g_sp > 1:
+        # Strip each segment's 2+2 halo columns and reassemble the frame.
+        out = out.reshape(b_img, g_sp, h, w_seg + 4, c)[:, :, :, 2 : 2 + w_seg]
+        out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b_img, h, g_sp * w_seg, c)
+        out = out[:, :, :w_img]
     return out

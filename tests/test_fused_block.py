@@ -33,6 +33,8 @@ TOL = dict(rtol=2.5e-2, atol=2.5e-2)
         (2, 24, 20, 16, 4, 8),
         (1, 19, 13, 8, 2, 8),  # H not divisible by th, odd W -> masked tail
         (1, 8, 16, 8, 2, 16),  # tile taller than the image
+        (1, 16, 272, 8, 2, 8),  # wide single frame -> spatial lane packing
+        (1, 16, 260, 8, 2, 8),  # spatial packing with a masked W tail
     ],
 )
 def test_matches_module_path(b, h, w, c, heads, th):
@@ -48,6 +50,21 @@ def test_matches_module_path(b, h, w, c, heads, th):
     assert got.dtype == expected.dtype
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(expected, np.float32), **TOL
+    )
+
+
+def test_w_tiling_matches_whole_w():
+    """Explicit tile_cols (the wide-frame VMEM guard) is numerically
+    identical to whole-W tiles."""
+    module = TransformerBlock(num_heads=2, dtype=jnp.bfloat16)
+    x = jnp.asarray(RNG.standard_normal((2, 16, 40, 8)).astype(np.float32) * 0.5)
+    variables = module.init(jax.random.PRNGKey(0), x)
+    whole = fused_transformer_block(x.astype(jnp.bfloat16), variables["params"], 2)
+    tiled = fused_transformer_block(
+        x.astype(jnp.bfloat16), variables["params"], 2, tile_cols=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled, np.float32), np.asarray(whole, np.float32), **TOL
     )
 
 
