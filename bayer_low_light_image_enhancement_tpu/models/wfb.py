@@ -87,6 +87,7 @@ class WM(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     ref_token_layout: bool = False
+    ssm_pallas: bool = False  # fused Pallas scan (kernels/ssm_scan.py); inference-only
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -111,6 +112,7 @@ class WM(nn.Module):
             expand=self.expand,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            use_pallas=self.ssm_pallas,
             name="model1",
         )(tokens)
         if self.ref_token_layout:
@@ -129,6 +131,7 @@ class WMB(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     ref_token_layout: bool = False
+    ssm_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -143,7 +146,8 @@ class WMB(nn.Module):
 
         ll, _ = IlluminationEstimator(dim, dim, name="illu", **kw)(ll)
         ll = FFAB(name="ffab", **kw)(ll)
-        high = WM(name="mb", ref_token_layout=self.ref_token_layout, **kw)(high)
+        high = WM(name="mb", ref_token_layout=self.ref_token_layout,
+                  ssm_pallas=self.ssm_pallas, **kw)(high)
 
         out = haar_iwt_stack(jnp.concatenate([ll, high], axis=0))
         out = jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)  # inverse_data_transform
@@ -162,6 +166,7 @@ class ConvWMB(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     ref_token_layout: bool = False
+    ssm_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -169,7 +174,8 @@ class ConvWMB(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         conv = leaky_relu(Conv2d(dim, 3, name="conv", **kw)(x), 0.2)
         trans = WMB(ffn_expansion=self.ffn_expansion, name="Transformer",
-                    ref_token_layout=self.ref_token_layout, **kw)(x, train)
+                    ref_token_layout=self.ref_token_layout,
+                    ssm_pallas=self.ssm_pallas, **kw)(x, train)
         y = jnp.concatenate([conv, trans], axis=-1)
         y = Conv2d(dim, 1, name="channel_reduce", **kw)(y)
         return leaky_relu(Conv2d(dim, 3, name="conv_out", **kw)(y), 0.2)
@@ -187,6 +193,9 @@ class RawFormerWFBConfig:
     # Reproduce the reference WM's exact token layouts (see WM docstring);
     # only for checkpoint-port output parity, not for from-scratch training.
     ref_token_layout: bool = False
+    # Route selective scans through the fused Pallas kernel
+    # (kernels/ssm_scan.py). Inference-only: the kernel has no VJP.
+    ssm_pallas: bool = False
 
 
 class RawFormerWFB(nn.Module):
@@ -201,7 +210,8 @@ class RawFormerWFB(nn.Module):
 
         def stage(name):
             return ConvWMB(ffn_expansion=cfg.ffn_expansion, name=name,
-                           ref_token_layout=cfg.ref_token_layout, **kw)
+                           ref_token_layout=cfg.ref_token_layout,
+                           ssm_pallas=cfg.ssm_pallas, **kw)
 
         if cfg.clamp_io:
             x = jnp.clip(x, 0.0, 1.0)
