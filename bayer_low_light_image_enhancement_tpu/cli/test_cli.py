@@ -81,6 +81,22 @@ def main(argv=None):
     _, val_ds = build_datasets(args)
     model = build_model(args)
 
+    if args.model and not args.no_fused and jax.default_backend() == "tpu":
+        # Inference-only kernel flags (same param tree): the fused Pallas
+        # selective scan triples WFB throughput (BENCHMARKS.md: 142 -> 46
+        # ms/step at batch 2 @ 512^2). Models whose configs lack the flag
+        # keep the plain build.
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+
+        try:
+            model = get_model(
+                args.model,
+                dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+                ssm_pallas=True,
+            )
+        except TypeError:
+            pass
+
     rng = np.random.default_rng(0)
     sample = val_ds.sample(0, rng)
     init_x = jnp.zeros((1, 64, 64, 1), jnp.float32)
