@@ -363,7 +363,7 @@ def fused_transformer_block(
     x: jnp.ndarray,
     params: Dict[str, Any],
     num_heads: int,
-    tile_rows: int = 8,
+    tile_rows: int = 16,
     tile_cols: Optional[int] = None,
     group: Optional[int] = None,
     interpret: Optional[bool] = None,
