@@ -24,12 +24,16 @@ import jax
 from bayer_low_light_image_enhancement_tpu.kernels.fused_block import (
     fused_transformer_block,
 )
-from bayer_low_light_image_enhancement_tpu.models.common import TransformerBlock
+from bayer_low_light_image_enhancement_tpu.kernels.fused_stage import (
+    fused_stage_tail,
+)
+from bayer_low_light_image_enhancement_tpu.models.common import (
+    ConvTransformer,
+    TransformerBlock,
+)
 
 
-def _should_fuse(module: nn.Module, args, kwargs) -> bool:
-    if not isinstance(module, TransformerBlock):
-        return False
+def _fusable(module: nn.Module, args) -> bool:
     if module.spatial_axis is not None:
         # Spatially-sharded attention psums across chips inside shard_map;
         # the single-chip kernel's gram would silently be shard-local.
@@ -43,6 +47,24 @@ def _should_fuse(module: nn.Module, args, kwargs) -> bool:
         # C=128, 0.94x at C=256) where XLA's lowering is already compact.
         return False
     return True
+
+
+def _should_fuse(module: nn.Module, args, kwargs) -> bool:
+    return isinstance(module, TransformerBlock) and _fusable(module, args)
+
+
+def _should_fuse_stage(module: nn.Module, args, kwargs) -> bool:
+    """Whole-stage fusion (kernels/fused_stage.py) measured a LOSS on chip
+    and stays disabled: at [8,256,256,32] the Pallas tail runs 3.33 ms vs
+    ~1.85 ms for XLA's tail overlapped into the stage — the full 3x3 convs
+    become 18 dense block-diagonal [gC, gC] tap-matmuls whose 8x zero-block
+    FLOP waste is MXU-bound, unlike the TransformerBlock whose cost is
+    traffic/occupancy. Kept for the record; see BENCHMARKS.md."""
+    return False and (
+        isinstance(module, ConvTransformer)
+        and module.inner is None
+        and _fusable(module, args)
+    )
 
 
 def fused_apply(
@@ -62,7 +84,16 @@ def fused_apply(
 
     def interceptor(next_fn, iargs, ikwargs, context):
         module = context.module
-        if context.method_name == "__call__" and _should_fuse(module, iargs, ikwargs):
+        if context.method_name != "__call__":
+            return next_fn(*iargs, **ikwargs)
+        if _should_fuse_stage(module, iargs, ikwargs):
+            params = module.variables["params"]
+            x = iargs[0]
+            t = fused_transformer_block(
+                x, params["transformer"], module.num_heads, **kw
+            )
+            return fused_stage_tail(x, t, params, **kw)
+        if _should_fuse(module, iargs, ikwargs):
             params = module.variables["params"]
             return fused_transformer_block(
                 iargs[0], params, module.num_heads, **kw
