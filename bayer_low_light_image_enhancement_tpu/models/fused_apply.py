@@ -45,6 +45,9 @@ def _fusable(module: nn.Module, args) -> bool:
         # occupancy/traffic-bound (2.02x at C=32, 1.29x at C=64) and is
         # neutral-to-losing at the deep narrow-spatial levels (1.01x at
         # C=128, 0.94x at C=256) where XLA's lowering is already compact.
+        # Also measured: extending fusion to C=128 at full-resolution
+        # spatial sizes (354x530) regressed 49.0 -> 47.7 MP/s - C alone is
+        # the right gate.
         return False
     return True
 
