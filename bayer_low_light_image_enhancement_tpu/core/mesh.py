@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 @dataclasses.dataclass(frozen=True)
 class AxisNames:
     data: str = "data"
-    spatial: str = "spatial"
+    spatial: str = "spatial"      # image H sharding
+    spatial_w: str = "spatial_w"  # image W sharding (2D spatial meshes)
 
 
 AXES = AxisNames()
@@ -34,25 +35,28 @@ AXES = AxisNames()
 def create_mesh(
     data: int = -1,
     spatial: int = 1,
+    spatial_w: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, spatial) mesh.
+    """Build a (data, spatial[, spatial_w]) mesh.
 
     ``data=-1`` consumes all remaining devices. The mesh is laid out so that
-    the ``spatial`` axis (which carries halo ppermutes every conv layer) maps
-    to mesh-adjacent devices.
+    the ``spatial`` axes (which carry halo ppermutes every conv layer) map
+    to mesh-adjacent devices. ``spatial_w > 1`` adds image-width sharding
+    for 2D spatial tiling of very large frames.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    sp = spatial * spatial_w
     if data == -1:
-        if n % spatial != 0:
-            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
-        data = n // spatial
-    if data * spatial > n:
-        raise ValueError(f"mesh {data}x{spatial} needs {data * spatial} devices, have {n}")
-    dev_array = np.asarray(devices[: data * spatial]).reshape(data, spatial)
-    return Mesh(dev_array, (AXES.data, AXES.spatial))
+        if n % sp != 0:
+            raise ValueError(f"{n} devices not divisible by spatial={sp}")
+        data = n // sp
+    if data * sp > n:
+        raise ValueError(f"mesh {data}x{spatial}x{spatial_w} needs {data * sp} devices, have {n}")
+    dev_array = np.asarray(devices[: data * sp]).reshape(data, spatial, spatial_w)
+    return Mesh(dev_array, (AXES.data, AXES.spatial, AXES.spatial_w))
 
 
 def initialize_multihost(

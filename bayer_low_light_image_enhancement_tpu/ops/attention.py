@@ -65,7 +65,11 @@ def channel_attention(
     k_ss = jnp.sum(kf * kf, axis=-1)
 
     if spatial_axis is not None:
-        gram, q_ss, k_ss = lax.psum((gram, q_ss, k_ss), spatial_axis)
+        from bayer_low_light_image_enhancement_tpu.ops.conv import reduce_axis_names
+
+        names = reduce_axis_names(spatial_axis, (1, 2))
+        if names:
+            gram, q_ss, k_ss = lax.psum((gram, q_ss, k_ss), names)
 
     # torch F.normalize: x / max(|x|, eps), eps=1e-12.
     q_inv = 1.0 / jnp.maximum(jnp.sqrt(q_ss), 1e-12)

@@ -25,21 +25,48 @@ def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
     return jnp.where(x >= 0, x, negative_slope * x)
 
 
-def halo_pad(x: jnp.ndarray, halo: int, spatial_axis: str) -> jnp.ndarray:
-    """Exchange ``halo`` boundary rows with spatial-mesh neighbours.
+def spatial_axes(spatial_axis) -> tuple:
+    """Normalise a spatial-sharding spec to (h_axis, w_axis).
+
+    Accepts None, a single H mesh-axis name, or an (h_axis, w_axis) tuple
+    (either entry may be None) for 2D spatial meshes.
+    """
+    if spatial_axis is None:
+        return None, None
+    if isinstance(spatial_axis, (tuple, list)):
+        h_ax = spatial_axis[0] if len(spatial_axis) > 0 else None
+        w_ax = spatial_axis[1] if len(spatial_axis) > 1 else None
+        return h_ax, w_ax
+    return spatial_axis, None
+
+
+def reduce_axis_names(spatial_axis, axes: Tuple[int, ...]) -> tuple:
+    """Mesh-axis names a reduction over tensor ``axes`` must also cross."""
+    h_ax, w_ax = spatial_axes(spatial_axis)
+    return tuple(
+        a for a, d in ((h_ax, 1), (w_ax, 2)) if a is not None and d in axes
+    )
+
+
+def halo_pad(x: jnp.ndarray, halo: int, spatial_axis: str, dim: int = 1) -> jnp.ndarray:
+    """Exchange ``halo`` boundary rows (``dim=1``) or columns (``dim=2``)
+    with spatial-mesh neighbours.
 
     Must be called inside ``shard_map`` with ``spatial_axis`` a mesh axis.
-    Returns x with ``halo`` received rows stacked above and below (zeros at
-    the global top/bottom edges — ppermute semantics).
+    Returns x with ``halo`` received rows/cols stacked before and after
+    (zeros at the global edges — ppermute semantics).
     """
     if halo <= 0:
         return x
     n = lax.axis_size(spatial_axis)
     down = [(i, i + 1) for i in range(n - 1)]  # my bottom rows -> next dev's top
     up = [(i + 1, i) for i in range(n - 1)]    # my top rows -> prev dev's bottom
-    top_halo = lax.ppermute(x[:, -halo:], spatial_axis, down)
-    bot_halo = lax.ppermute(x[:, :halo], spatial_axis, up)
-    return jnp.concatenate([top_halo, x, bot_halo], axis=1)
+    size = x.shape[dim]
+    top_halo = lax.ppermute(
+        lax.slice_in_dim(x, size - halo, size, axis=dim), spatial_axis, down
+    )
+    bot_halo = lax.ppermute(lax.slice_in_dim(x, 0, halo, axis=dim), spatial_axis, up)
+    return jnp.concatenate([top_halo, x, bot_halo], axis=dim)
 
 
 def conv2d(
@@ -57,12 +84,19 @@ def conv2d(
     spatial convs — down/upsampling is space<->depth, which stays local).
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
-    if spatial_axis is not None:
+    h_ax, w_ax = spatial_axes(spatial_axis)
+    if h_ax is not None or w_ax is not None:
         if stride != 1:
             raise ValueError("halo conv only supports stride 1")
-        halo = (kh - 1) // 2
-        x = halo_pad(x, halo, spatial_axis)
-        padding = ((0, 0), ((kw - 1) // 2, kw // 2))
+        pad_h = ((kh - 1) // 2, kh // 2)
+        pad_w = ((kw - 1) // 2, kw // 2)
+        if h_ax is not None:
+            x = halo_pad(x, (kh - 1) // 2, h_ax, dim=1)
+            pad_h = (0, 0)
+        if w_ax is not None:
+            x = halo_pad(x, (kw - 1) // 2, w_ax, dim=2)
+            pad_w = (0, 0)
+        padding = (pad_h, pad_w)
     else:
         padding = "SAME"
     # Output dtype == operand dtype: the MXU accumulates bf16 convs in fp32
@@ -86,10 +120,12 @@ def global_mean(
     axes: Tuple[int, ...],
     spatial_axis: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Mean over ``axes``; if H (axis 1) is sharded, reduce across chips too."""
+    """Mean over ``axes``; if H/W (axes 1/2) are sharded, reduce across
+    chips too."""
     m = jnp.mean(x, axis=axes, keepdims=True)
-    if spatial_axis is not None and 1 in axes:
-        m = lax.pmean(m, spatial_axis)
+    names = reduce_axis_names(spatial_axis, axes)
+    if names:
+        m = lax.pmean(m, names)
     return m
 
 
@@ -99,6 +135,7 @@ def global_max(
     spatial_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     m = jnp.max(x, axis=axes, keepdims=True)
-    if spatial_axis is not None and 1 in axes:
-        m = lax.pmax(m, spatial_axis)
+    names = reduce_axis_names(spatial_axis, axes)
+    if names:
+        m = lax.pmax(m, names)
     return m

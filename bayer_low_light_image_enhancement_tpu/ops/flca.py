@@ -65,6 +65,13 @@ def resize_bilinear(
     and each shard applies its own row-block of the global resize matrix.
     """
     b, hi, wi, c = x.shape
+    if isinstance(spatial_axis, (tuple, list)):
+        if len(spatial_axis) > 1 and spatial_axis[1] is not None:
+            raise NotImplementedError(
+                "W-sharded guided resize is not supported; shard guided "
+                "models along H only"
+            )
+        spatial_axis = spatial_axis[0]
     if spatial_axis is None:
         if (hi, wi) == (h, w):
             return x

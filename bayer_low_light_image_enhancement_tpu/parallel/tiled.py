@@ -49,16 +49,23 @@ def make_tiled_forward(
     model,
     mesh: Mesh,
     spatial_axis: str = AXES.spatial,
+    spatial_w_axis: str = None,
     clip01: bool = True,
 ):
-    """Build a jitted H-sharded forward for a model constructed with
-    ``spatial_axis=<axis>`` in its config.
+    """Build a jitted H-sharded (optionally HxW-sharded) forward for a model
+    constructed with ``spatial_axis=<axis>`` (or ``(h_axis, w_axis)``) in
+    its config.
 
-    Returns ``fn(variables, x)`` where x is [B, H, W, C] with H divisible by
-    (n_shards * 16); the result is fully replicated [B, H, W, 3].
+    Returns ``fn(variables, x)`` where x is [B, H, W, C] with per-shard H
+    (and W, if sharded) divisible by 16; the result is fully replicated
+    [B, H, W, 3].
     """
-    in_specs = (P(), P(None, spatial_axis))
-    out_specs = P(None, spatial_axis)
+    xspec = (
+        P(None, spatial_axis, spatial_w_axis) if spatial_w_axis
+        else P(None, spatial_axis)
+    )
+    in_specs = (P(), xspec)
+    out_specs = xspec
 
     def local_forward(variables, x_local):
         y = model.apply(variables, x_local, train=False)
@@ -77,6 +84,12 @@ def make_tiled_forward(
     return fn
 
 
-def shard_image(x, mesh: Mesh, spatial_axis: str = AXES.spatial):
-    """Place [B, H, W, C] with H sharded over the spatial mesh axis."""
-    return jax.device_put(x, NamedSharding(mesh, P(None, spatial_axis)))
+def shard_image(x, mesh: Mesh, spatial_axis: str = AXES.spatial,
+                spatial_w_axis: str = None):
+    """Place [B, H, W, C] with H (and optionally W) sharded over the
+    spatial mesh axes."""
+    spec = (
+        P(None, spatial_axis, spatial_w_axis) if spatial_w_axis
+        else P(None, spatial_axis)
+    )
+    return jax.device_put(x, NamedSharding(mesh, spec))

@@ -160,6 +160,47 @@ class TestTiledVariants:
         self._check("multilvl_flca_rawformer")
 
 
+class TestTiled2D:
+    """2D (H x W) spatial sharding == monolithic for the canonical model.
+
+    The reference evaluates full frames monolithically (test.py:107-116);
+    2D spatial meshes extend the halo-exchange story to both image axes
+    (conv halos ppermute along each axis; attention grams psum over the
+    axis pair)."""
+
+    def test_rawformer_2d_tiled_matches_monolithic(self):
+        from bayer_low_light_image_enhancement_tpu.models.rawformer import (
+            RawFormer,
+            RawFormerConfig,
+        )
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        mesh = create_mesh(data=1, spatial=2, spatial_w=2)
+        axes = (AXES.spatial, AXES.spatial_w)
+        mono = RawFormer(RawFormerConfig(dim=8, num_heads=(2, 2, 2, 2)))
+        tiled = RawFormer(
+            RawFormerConfig(dim=8, num_heads=(2, 2, 2, 2), spatial_axis=axes)
+        )
+
+        x = jnp.asarray(RNG.uniform(0, 1, (1, 32, 64, 1)).astype(np.float32))
+        variables = mono.init(jax.random.PRNGKey(0), x[:, :16, :32])
+        expected = jnp.clip(mono.apply(variables, x), 0.0, 1.0)
+
+        fwd = make_tiled_forward(
+            tiled, mesh, spatial_axis=AXES.spatial, spatial_w_axis=AXES.spatial_w
+        )
+        out = fwd(
+            variables,
+            shard_image(x, mesh, spatial_w_axis=AXES.spatial_w),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=2e-5
+        )
+
+
 class TestShardedResize:
     def test_sharded_resize_matches_global(self):
         from bayer_low_light_image_enhancement_tpu.ops.flca import resize_bilinear
