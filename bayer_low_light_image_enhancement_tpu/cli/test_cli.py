@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(halo-exchange tiling; 1 = monolithic)",
     )
     p.add_argument(
+        "--spatial_w_chips",
+        type=int,
+        default=1,
+        help="additionally shard frames along W over M chips (2D spatial "
+        "mesh of spatial_chips x spatial_w_chips; canonical RawFormer only)",
+    )
+    p.add_argument(
         "--no_fused",
         action="store_true",
         help="disable the fused TransformerBlock Pallas kernel at inference "
@@ -127,16 +134,25 @@ def main(argv=None):
         params = restored.variables()
         print(f"restored orbax checkpoint step {step}")
 
-    if args.spatial_chips > 1:
+    if args.spatial_chips > 1 or args.spatial_w_chips > 1:
         from bayer_low_light_image_enhancement_tpu.core.mesh import AXES, create_mesh
         from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
             make_tiled_forward,
             shard_image,
         )
 
-        mesh = create_mesh(data=1, spatial=args.spatial_chips)
+        mesh = create_mesh(
+            data=1, spatial=args.spatial_chips, spatial_w=args.spatial_w_chips
+        )
+        w_ax = AXES.spatial_w if args.spatial_w_chips > 1 else None
+        sp_axis = (AXES.spatial, w_ax) if w_ax else AXES.spatial
         dtype = jnp.float32 if args.fp32 else jnp.bfloat16
         if args.model:
+            if w_ax:
+                raise SystemExit(
+                    "--spatial_w_chips supports the canonical RawFormer only "
+                    "(guided variants' bilinear resize is H-sharded only)"
+                )
             from bayer_low_light_image_enhancement_tpu.models import get_model
 
             try:
@@ -154,14 +170,16 @@ def main(argv=None):
 
             tiled_model = RawFormer(
                 RawFormerConfig.from_size(
-                    args.model_size, dtype=dtype, spatial_axis=AXES.spatial
+                    args.model_size, dtype=dtype, spatial_axis=sp_axis
                 )
             )
-        tiled_fwd = make_tiled_forward(tiled_model, mesh)
-        args.pad_to = max(args.pad_to, 16 * args.spatial_chips)
+        tiled_fwd = make_tiled_forward(tiled_model, mesh, spatial_w_axis=w_ax)
+        args.pad_to = max(
+            args.pad_to, 16 * args.spatial_chips, 16 * args.spatial_w_chips
+        )
 
         def fwd(p, x):
-            return tiled_fwd(p, shard_image(x, mesh))
+            return tiled_fwd(p, shard_image(x, mesh, spatial_w_axis=w_ax))
 
     elif not args.no_fused and jax.default_backend() == "tpu":
         # Single-chip full-res eval: TransformerBlocks run as the fused

@@ -391,9 +391,9 @@ def fused_transformer_block(
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
     g_target = group if group is not None else max(1, 256 // c)
-    g = g_target
-    while g > 1 and b % g:
-        g //= 2
+    # Largest divisor of b within the lane target (halving alone left the
+    # B model at g=2/96 lanes when g=4/192 was available at C=48).
+    g = next(gg for gg in range(min(g_target, b), 0, -1) if b % gg == 0)
     # Spatial lane packing: when the batch alone can't fill the lane target
     # (single full-resolution frames), split W into g_sp segments (each with
     # 2 host halo columns) and pack those as extra lane images. The gram is

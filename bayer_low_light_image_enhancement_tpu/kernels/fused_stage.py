@@ -143,9 +143,9 @@ def fused_stage_tail(
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
     g_target = group if group is not None else max(1, 256 // c)
-    g = g_target
-    while g > 1 and b % g:
-        g //= 2
+    # Largest divisor of b within the lane target (halving alone left the
+    # B model at g=2/96 lanes when g=4/192 was available at C=48).
+    g = next(gg for gg in range(min(g_target, b), 0, -1) if b % gg == 0)
     g_sp = max(1, g_target // g)
     w_seg = -(-w // (8 * g_sp)) * 8
     while g_sp > 1 and w_seg < 64:
