@@ -64,19 +64,15 @@ _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
 
-def _ln(x_f32, w_ref, b_ref, mavg_ref, eps=1e-5):
+def _ln(x_f32, w_ref, b_ref, mavg_ref, eps=1e-5, chunks=1):
     """Channel LayerNorm (torch semantics: biased var, fp32 stats).
 
     The mean over each image's channel segment is one [.., Cg] @ [Cg, Cg]
     MXU dot with a block-diagonal averaging matrix — with g images packed in
     the lane dim this is a segmented reduction the VPU can't express; with
     g=1 it degenerates to the plain channel mean."""
-    mavg = mavg_ref[...]
-    dn = (((2,), (0,)), ((), ()))
-    mu = jax.lax.dot_general(x_f32, mavg, dimension_numbers=dn,
-                             preferred_element_type=_F32)
-    var = jax.lax.dot_general(x_f32 * x_f32, mavg, dimension_numbers=dn,
-                              preferred_element_type=_F32) - mu * mu
+    mu = _matmul_bd(x_f32, mavg_ref, _F32, chunks)
+    var = _matmul_bd(x_f32 * x_f32, mavg_ref, _F32, chunks) - mu * mu
     y = (x_f32 - mu) * jax.lax.rsqrt(var + eps)
     return y * w_ref[0].astype(_F32) + b_ref[0].astype(_F32)
 
@@ -164,6 +160,33 @@ def _matmul(x, w_ref, out_dtype=_BF16):
     ).astype(out_dtype)
 
 
+def _matmul_bd(x, w_ref, out_dtype=_BF16, chunks=1):
+    """Block-diagonal matmul, split into independent 128-lane chunks.
+
+    With g images packed into lanes every weight matrix is block-diagonal;
+    the dense [Cg, Cg] MXU dot wastes (g-1)/g of its FLOPs on zero blocks.
+    When both the input and output lane counts split at image boundaries
+    into 128-multiples, the dot decomposes into ``chunks`` independent
+    diagonal sub-matmuls — half the MXU work at Cg=256 — with tile-aligned
+    lane slices (no relayouts).
+    """
+    if chunks == 1:
+        return _matmul(x, w_ref, out_dtype)
+    cin = x.shape[-1] // chunks
+    cout = w_ref.shape[-1] // chunks
+    dn = (((2,), (0,)), ((), ()))
+    outs = [
+        jax.lax.dot_general(
+            x[..., i * cin : (i + 1) * cin],
+            w_ref[i * cin : (i + 1) * cin, i * cout : (i + 1) * cout].astype(x.dtype),
+            dimension_numbers=dn,
+            preferred_element_type=_F32,
+        )
+        for i in range(chunks)
+    ]
+    return jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+
 def _win(prev_ref, cur_ref, nxt_ref, th):
     """Assemble the (th+4)-row halo window from three consecutive th-row
     blocks (leading-dim slices + concat — free on TPU). Boundary tiles read
@@ -192,6 +215,7 @@ def _gram_kernel(
     c_img: int,
     g_sp: int,
     w_seg: int,
+    chunks: int,
 ):
     j = pl.program_id(1)
     i = pl.program_id(2)
@@ -208,7 +232,8 @@ def _gram_kernel(
     seg = _seg_off(cg, c_img, g_sp, w_seg)
     m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
                     seg=seg)
-    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref) * m0.astype(_F32)).astype(_BF16)
+    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref, chunks=chunks)
+          * m0.astype(_F32)).astype(_BF16)
 
     # Gram contributions only from this tile's own th x tw pixels (halo
     # rows/cols belong to the neighbouring tiles) and real rows/cols; the
@@ -224,22 +249,35 @@ def _gram_kernel(
     own &= (ci >= lo) & (ci < lo + ln) & (cb + ci - 1 + seg < w_real)
     mg = own.astype(_BF16)
 
-    q = _dw3x3((_matmul(xn, wq_ref) + bq_ref[0]) * m0, dwq_ref)
+    q = _dw3x3((_matmul_bd(xn, wq_ref, chunks=chunks) + bq_ref[0]) * m0, dwq_ref)
     q = (q + bdwq_ref[0]) * mg
-    k = _dw3x3((_matmul(xn, wk_ref) + bk_ref[0]) * m0, dwk_ref)
+    k = _dw3x3((_matmul_bd(xn, wk_ref, chunks=chunks) + bk_ref[0]) * m0, dwk_ref)
     k = (k + bdwk_ref[0]) * mg
 
     # Mosaic's tpu.matmul rejects multi-dim contractions; accumulate the
     # gram as one [Wp, C]^T @ [Wp, C] MXU dot per row (leading-dim indexing
-    # is free).
-    g = None
-    for o in range(r - 2):
-        t = jax.lax.dot_general(
-            q[o], k[o], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=_F32,
-        )
-        g = t if g is None else g + t
-    gram_ref[0] += g
+    # is free). Under chunking only the diagonal 128-lane blocks are
+    # computed (the cross-image blocks are discarded by the finalise
+    # anyway).
+    dn_g = (((0,), (0,)), ((), ()))
+    if chunks == 1:
+        g = None
+        for o in range(r - 2):
+            t = jax.lax.dot_general(q[o], k[o], dimension_numbers=dn_g,
+                                    preferred_element_type=_F32)
+            g = t if g is None else g + t
+        gram_ref[0] += g
+    else:
+        cs = q.shape[-1] // chunks
+        for ic in range(chunks):
+            qs = q[..., ic * cs : (ic + 1) * cs]
+            ks = k[..., ic * cs : (ic + 1) * cs]
+            g = None
+            for o in range(r - 2):
+                t = jax.lax.dot_general(qs[o], ks[o], dimension_numbers=dn_g,
+                                        preferred_element_type=_F32)
+                g = t if g is None else g + t
+            gram_ref[0, ic * cs : (ic + 1) * cs, ic * cs : (ic + 1) * cs] += g
     qf = q.astype(_F32)
     kf = k.astype(_F32)
     qss_ref[...] += jnp.sum(qf * qf, axis=(0, 1), keepdims=True)
@@ -267,6 +305,7 @@ def _apply_ffn_kernel(
     ch_img: int,
     g_sp: int,
     w_seg: int,
+    chunks: int,
 ):
     j = pl.program_id(1)
     i = pl.program_id(2)
@@ -279,19 +318,16 @@ def _apply_ffn_kernel(
     # Clamped boundary halo rows carry garbage (see _win); zero them in x
     # itself so the first-residual add (which uses raw x rows) stays exact.
     x = x * m0
-    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref) * m0.astype(_F32)).astype(_BF16)
+    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref, chunks=chunks)
+          * m0.astype(_F32)).astype(_BF16)
 
     # v branch; mv masks real pixels at the dw output's +1 column offset.
     mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1, col_base=cb,
                     seg=seg)
-    v = _dw3x3((_matmul(xn, wv_ref) + bv_ref[0]) * m0, dwv_ref)
+    v = _dw3x3((_matmul_bd(xn, wv_ref, chunks=chunks) + bv_ref[0]) * m0, dwv_ref)
     v = (v + bdwv_ref[0]) * mv
 
-    att = jax.lax.dot_general(
-        v, apply_ref[0].astype(_BF16),
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    ).astype(_BF16)
+    att = _matmul_bd(v, apply_ref[0], _BF16, chunks)
     att = (att + bproj_ref[0]) * mv
 
     # First residual. x rows [1, th+3) align with v's rows; one sublane roll
@@ -299,7 +335,8 @@ def _apply_ffn_kernel(
     # y is too (== the SAME zero padding the FFN depthwise expects).
     y = jnp.roll(x[1 : r - 1], -1, axis=1) + att  # [th+2, Wp, C], col off +1
 
-    yn = (_ln(y.astype(_F32), ln2w_ref, ln2b_ref, mavg_ref) * mv.astype(_F32)).astype(_BF16)
+    yn = (_ln(y.astype(_F32), ln2w_ref, ln2b_ref, mavg_ref, chunks=chunks)
+          * mv.astype(_F32)).astype(_BF16)
     # Hidden-width copy of mv: under spatial packing masks are per-lane and
     # the FFN hidden tensor has ch_img (not c_img) lanes per packed image.
     if g_sp > 1:
@@ -308,10 +345,10 @@ def _apply_ffn_kernel(
                           col_base=cb, seg=_seg_off(nh, ch_img, g_sp, w_seg))
     else:
         mv_h = mv
-    t = (_matmul(yn, wp1_ref) + bp1_ref[0]) * mv_h
+    t = (_matmul_bd(yn, wp1_ref, chunks=chunks) + bp1_ref[0]) * mv_h
     f = _dw3x3(t, dwf_ref) + bdwf_ref[0]  # [th, Wp, Ch], col offset +2
     f = _gelu_exact(f.astype(_F32)).astype(_BF16)
-    f = _matmul(f, wp2_ref) + bp2_ref[0]
+    f = _matmul_bd(f, wp2_ref, chunks=chunks) + bp2_ref[0]
 
     # Second residual: y rows [1, th+1) with one more column roll (+2 offset).
     out = jnp.roll(y[1 : th + 1], -1, axis=1) + f
@@ -367,6 +404,7 @@ def fused_transformer_block(
     tile_cols: Optional[int] = None,
     group: Optional[int] = None,
     interpret: Optional[bool] = None,
+    chunked: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Run one full TransformerBlock on x [B, H, W, C] -> [B, H, W, C].
 
@@ -418,6 +456,17 @@ def fused_transformer_block(
         g *= g_sp
     b2 = b // g
     cg = g * c
+    # Chunked block-diag matmuls: legal when lane counts split at image
+    # boundaries into 128-multiples (C=32/64 packed groups). Halves MXU
+    # zero-block waste at cg=256. EXPERIMENTAL — off by default: the kernel
+    # is bandwidth-bound (docstring traffic analysis) so the MXU saving is
+    # speculative, and the on-chip A/B is still pending (tunnel outage at
+    # measurement time). Opt in per-call or with BAYER_TPU_FUSED_CHUNKS=1.
+    if chunked is None:
+        import os
+        chunked = os.environ.get("BAYER_TPU_FUSED_CHUNKS", "0") == "1"
+    legal = cg % 128 == 0 and 128 % c == 0 and cg > 128
+    chunks = cg // 128 if (chunked and legal) else 1
 
     th = tile_rows
     hp = -(-h // th) * th
@@ -494,7 +543,7 @@ def fused_transformer_block(
 
     gram, qss, kss = pl.pallas_call(
         functools.partial(_gram_kernel, th=th, tw=tw, c_img=c, g_sp=g_sp,
-                          w_seg=w_seg),
+                          w_seg=w_seg, chunks=chunks),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),
@@ -566,7 +615,8 @@ def fused_transformer_block(
 
     out = pl.pallas_call(
         functools.partial(_apply_ffn_kernel, th=th, tw=tw, c_img=c,
-                          ch_img=ch_hidden, g_sp=g_sp, w_seg=w_seg),
+                          ch_img=ch_hidden, g_sp=g_sp, w_seg=w_seg,
+                          chunks=chunks),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),

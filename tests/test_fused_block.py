@@ -53,6 +53,23 @@ def test_matches_module_path(b, h, w, c, heads, th):
     )
 
 
+def test_chunked_block_diag_matches_dense():
+    """chunked=True (block-diagonal 128-lane sub-matmuls at cg=256) is
+    numerically equivalent to the dense [cg, cg] path; b=16, c=16 packs
+    g=16 images -> cg=256 -> chunks=2."""
+    module = TransformerBlock(num_heads=4, dtype=jnp.bfloat16)
+    x = jnp.asarray(RNG.standard_normal((16, 16, 16, 16)).astype(np.float32) * 0.5)
+    variables = module.init(jax.random.PRNGKey(0), x)
+    xb = x.astype(jnp.bfloat16)
+    dense = fused_transformer_block(xb, variables["params"], 4, tile_rows=8,
+                                    chunked=False)
+    chunked = fused_transformer_block(xb, variables["params"], 4, tile_rows=8,
+                                      chunked=True)
+    np.testing.assert_allclose(
+        np.asarray(chunked, np.float32), np.asarray(dense, np.float32), **TOL
+    )
+
+
 def test_w_tiling_matches_whole_w():
     """Explicit tile_cols (the wide-frame VMEM guard) is numerically
     identical to whole-W tiles."""
