@@ -88,6 +88,7 @@ class TestAugment:
 
 
 class TestCheckpointRoundtrip:
+    @pytest.mark.slow
     def test_save_restore_train_state(self, tmp_path):
         from bayer_low_light_image_enhancement_tpu.models.rawformer import (
             RawFormer,

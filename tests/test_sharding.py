@@ -90,6 +90,7 @@ class TestShardedAttention:
 
 
 class TestTiledRawFormer:
+    @pytest.mark.slow
     def test_tiled_inference_matches_monolithic(self):
         from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
             make_tiled_forward,
@@ -226,6 +227,7 @@ class TestShardedResize:
 
 
 class TestDataParallelEquivalence:
+    @pytest.mark.slow
     def test_dp_train_step_matches_single_device(self):
         from bayer_low_light_image_enhancement_tpu.train.trainer import (
             TrainConfig,

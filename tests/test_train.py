@@ -135,6 +135,7 @@ class TestTrainer:
         state = trainer.init(jax.random.PRNGKey(0), x)
         return trainer, state, x, y
 
+    @pytest.mark.slow
     def test_loss_decreases(self, tiny):
         trainer, state, x, y = tiny
         # train_step donates its input state; work on a copy so the
@@ -146,6 +147,7 @@ class TestTrainer:
             losses.append(float(loss))
         assert losses[-1] < losses[0], losses
 
+    @pytest.mark.slow
     def test_bf16_train_step_compiles(self):
         """Regression: bf16 backward used to fail on mixed-dtype conv
         transpose (preferred_element_type f32 with bf16 operands)."""
