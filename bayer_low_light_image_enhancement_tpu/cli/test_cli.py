@@ -174,8 +174,11 @@ def main(argv=None):
                 )
             )
         tiled_fwd = make_tiled_forward(tiled_model, mesh, spatial_w_axis=w_ax)
+        # WFB halves each stage again through its in-stage Haar DWT, so its
+        # per-shard H must be a multiple of 32 (vs 16 for the rest).
+        h_mult = 32 if args.model == "rawformer_wfb" else 16
         args.pad_to = max(
-            args.pad_to, 16 * args.spatial_chips, 16 * args.spatial_w_chips
+            args.pad_to, h_mult * args.spatial_chips, 16 * args.spatial_w_chips
         )
 
         def fwd(p, x):
@@ -200,6 +203,11 @@ def main(argv=None):
             ssim(jnp.floor(p_img * 255.0), jnp.floor(g_img * 255.0)),
         )
     )
+
+    if args.model == "rawformer_wfb":
+        # WFB needs H/W divisible by 32 even unsharded: space_to_depth +
+        # three downsamples + the in-stage Haar DWT halving.
+        args.pad_to = max(args.pad_to, 32)
 
     save_images_dir = os.path.join(args.save_dir, args.dataset, "images")
     save_csv = os.path.join(args.save_dir, args.dataset, "csv", "test_metrics.csv")

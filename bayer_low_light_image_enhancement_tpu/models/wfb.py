@@ -35,7 +35,7 @@ from bayer_low_light_image_enhancement_tpu.models.common import (
     Upsample2x,
 )
 from bayer_low_light_image_enhancement_tpu.models.registry import register_model
-from bayer_low_light_image_enhancement_tpu.ops.conv import leaky_relu
+from bayer_low_light_image_enhancement_tpu.ops.conv import leaky_relu, spatial_axes
 from bayer_low_light_image_enhancement_tpu.ops.dwt import haar_dwt_stack, haar_iwt_stack
 from bayer_low_light_image_enhancement_tpu.ops.fft import FFAB
 from bayer_low_light_image_enhancement_tpu.ops.rep_conv import GatedFeedForward
@@ -54,10 +54,12 @@ class IlluminationEstimator(nn.Module):
     n_fea_out: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Optional[Any] = None
 
     @nn.compact
     def __call__(self, img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         mean_c = jnp.mean(img, axis=-1, keepdims=True)
         x = jnp.concatenate([img, mean_c], axis=-1)
         x1 = Conv2d(self.n_fea_middle, 1, name="conv1", **kw)(x)
@@ -88,11 +90,21 @@ class WM(nn.Module):
     param_dtype: Dtype = jnp.float32
     ref_token_layout: bool = False
     ssm_pallas: bool = False  # fused Pallas scan (kernels/ssm_scan.py); inference-only
+    spatial_axis: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
+        h_ax, w_ax = spatial_axes(self.spatial_axis)
+        if h_ax is not None and self.ref_token_layout:
+            raise ValueError("sharded WM requires the natural token layout")
+        if w_ax is not None:
+            raise ValueError(
+                "WFB sharding is H-axis only: W-sharding breaks the raster "
+                "token-sequence contiguity the SSM chunk-carry relies on"
+            )
         y = Conv2d(c * 2, 3, name="convb_0", **kw)(x)
         y = jnp.maximum(y, 0.0)
         y = Conv2d(c, 3, name="convb_1", **kw)(y)
@@ -113,6 +125,7 @@ class WM(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             use_pallas=self.ssm_pallas,
+            axis_name=h_ax,
             name="model1",
         )(tokens)
         if self.ref_token_layout:
@@ -132,12 +145,14 @@ class WMB(nn.Module):
     param_dtype: Dtype = jnp.float32
     ref_token_layout: bool = False
     ssm_pallas: bool = False
+    spatial_axis: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dim = x.shape[-1]
         n = x.shape[0]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
 
         y = LayerNorm2d(name="norm1", param_dtype=self.param_dtype)(x).astype(self.dtype)
         y = 2.0 * y - 1.0  # data_transform (model.py:10-11)
@@ -167,11 +182,13 @@ class ConvWMB(nn.Module):
     param_dtype: Dtype = jnp.float32
     ref_token_layout: bool = False
     ssm_pallas: bool = False
+    spatial_axis: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dim = x.shape[-1]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         conv = leaky_relu(Conv2d(dim, 3, name="conv", **kw)(x), 0.2)
         trans = WMB(ffn_expansion=self.ffn_expansion, name="Transformer",
                     ref_token_layout=self.ref_token_layout,
@@ -196,6 +213,11 @@ class RawFormerWFBConfig:
     # Route selective scans through the fused Pallas kernel
     # (kernels/ssm_scan.py). Inference-only: the kernel has no VJP.
     ssm_pallas: bool = False
+    # H mesh axis for spatially-sharded full-resolution inference (see
+    # parallel/tiled.py). H-axis only: the FFT islands all-gather along it
+    # and the SSM runs the cross-device chunk-carry scan; W-sharding would
+    # break raster token contiguity and is rejected.
+    spatial_axis: Optional[Any] = None
 
 
 class RawFormerWFB(nn.Module):
@@ -207,49 +229,59 @@ class RawFormerWFB(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        h_ax, w_ax = spatial_axes(cfg.spatial_axis)
+        if w_ax is not None:
+            raise ValueError(
+                "WFB sharding is H-axis only: W-sharding breaks the raster "
+                "token-sequence contiguity the SSM chunk-carry relies on"
+            )
+        if h_ax is not None and cfg.ref_token_layout:
+            raise ValueError("sharded WFB requires the natural token layout")
 
         def stage(name):
             return ConvWMB(ffn_expansion=cfg.ffn_expansion, name=name,
                            ref_token_layout=cfg.ref_token_layout,
-                           ssm_pallas=cfg.ssm_pallas, **kw)
+                           ssm_pallas=cfg.ssm_pallas,
+                           spatial_axis=cfg.spatial_axis, **kw)
 
         if cfg.clamp_io:
             x = jnp.clip(x, 0.0, 1.0)
         x = x.astype(cfg.dtype)
         x = space_to_depth(x, 2)
-        x = Conv2d(cfg.dim, 3, name="embedding", **kw)(x)
+        x = Conv2d(cfg.dim, 3, name="embedding",
+                   spatial_axis=cfg.spatial_axis, **kw)(x)
 
         c1 = stage("conv_tran1")(x, train)
-        p1 = Downsample(name="down1", **kw)(c1)
+        p1 = Downsample(name="down1", spatial_axis=cfg.spatial_axis, **kw)(c1)
         c2 = stage("conv_tran2")(p1, train)
-        p2 = Downsample(name="down2", **kw)(c2)
+        p2 = Downsample(name="down2", spatial_axis=cfg.spatial_axis, **kw)(c2)
         c3 = stage("conv_tran3")(p2, train)
-        p3 = Downsample(name="down3", **kw)(c3)
+        p3 = Downsample(name="down3", spatial_axis=cfg.spatial_axis, **kw)(c3)
         c4 = stage("conv_tran4")(p3, train)
 
-        u1 = Upsample2x(cfg.dim * 4, name="up1", **kw)(c4)
+        u1 = Upsample2x(cfg.dim * 4, name="up1", spatial_axis=cfg.spatial_axis, **kw)(c4)
         c5 = stage("conv_tran5")(
-            Conv2d(cfg.dim * 4, 1, name="channel_reduce1", **kw)(
+            Conv2d(cfg.dim * 4, 1, name="channel_reduce1", spatial_axis=cfg.spatial_axis, **kw)(
                 jnp.concatenate([u1, c3], axis=-1)
             ),
             train,
         )
-        u2 = Upsample2x(cfg.dim * 2, name="up2", **kw)(c5)
+        u2 = Upsample2x(cfg.dim * 2, name="up2", spatial_axis=cfg.spatial_axis, **kw)(c5)
         c6 = stage("conv_tran6")(
-            Conv2d(cfg.dim * 2, 1, name="channel_reduce2", **kw)(
+            Conv2d(cfg.dim * 2, 1, name="channel_reduce2", spatial_axis=cfg.spatial_axis, **kw)(
                 jnp.concatenate([u2, c2], axis=-1)
             ),
             train,
         )
-        u3 = Upsample2x(cfg.dim, name="up3", **kw)(c6)
+        u3 = Upsample2x(cfg.dim, name="up3", spatial_axis=cfg.spatial_axis, **kw)(c6)
         c7 = stage("conv_tran7")(
-            Conv2d(cfg.dim, 1, name="channel_reduce3", **kw)(
+            Conv2d(cfg.dim, 1, name="channel_reduce3", spatial_axis=cfg.spatial_axis, **kw)(
                 jnp.concatenate([u3, c1], axis=-1)
             ),
             train,
         )
 
-        out = leaky_relu(Conv2d(cfg.out_channels * 4, 3, name="conv_out", **kw)(c7), 0.2)
+        out = leaky_relu(Conv2d(cfg.out_channels * 4, 3, name="conv_out", spatial_axis=cfg.spatial_axis, **kw)(c7), 0.2)
         out = depth_to_space(out, 2).astype(jnp.float32)
         if cfg.clamp_io:
             out = jnp.clip(out, 0.0, 1.0)

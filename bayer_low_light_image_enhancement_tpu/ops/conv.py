@@ -85,17 +85,31 @@ def conv2d(
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
     h_ax, w_ax = spatial_axes(spatial_axis)
+    slice_back = []  # (dim, mesh_axis, local_size) for gathered axes
     if h_ax is not None or w_ax is not None:
         if stride != 1:
             raise ValueError("halo conv only supports stride 1")
         pad_h = ((kh - 1) // 2, kh // 2)
         pad_w = ((kw - 1) // 2, kw // 2)
+        # When the halo is as large as the local extent (tiny bottleneck
+        # maps, e.g. a 5x5 depthwise over 1 row/shard), single-hop ppermute
+        # can't supply it; gather the whole axis, conv SAME, slice back.
         if h_ax is not None:
-            x = halo_pad(x, (kh - 1) // 2, h_ax, dim=1)
-            pad_h = (0, 0)
+            halo_h = (kh - 1) // 2
+            if halo_h >= x.shape[1]:
+                slice_back.append((1, h_ax, x.shape[1]))
+                x = lax.all_gather(x, h_ax, axis=1, tiled=True)
+            else:
+                x = halo_pad(x, halo_h, h_ax, dim=1)
+                pad_h = (0, 0)
         if w_ax is not None:
-            x = halo_pad(x, (kw - 1) // 2, w_ax, dim=2)
-            pad_w = (0, 0)
+            halo_w = (kw - 1) // 2
+            if halo_w >= x.shape[2]:
+                slice_back.append((2, w_ax, x.shape[2]))
+                x = lax.all_gather(x, w_ax, axis=2, tiled=True)
+            else:
+                x = halo_pad(x, halo_w, w_ax, dim=2)
+                pad_w = (0, 0)
         padding = (pad_h, pad_w)
     else:
         padding = "SAME"
@@ -112,6 +126,11 @@ def conv2d(
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)
+    if slice_back:
+        for dim, ax, size in slice_back:
+            y = lax.dynamic_slice_in_dim(
+                y, lax.axis_index(ax) * size, size, axis=dim
+            )
     return y
 
 

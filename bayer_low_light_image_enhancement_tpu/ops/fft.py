@@ -21,26 +21,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import Optional
+
 from bayer_low_light_image_enhancement_tpu.models.common import Conv2d
-from bayer_low_light_image_enhancement_tpu.ops.conv import leaky_relu
+from bayer_low_light_image_enhancement_tpu.ops.conv import leaky_relu, spatial_axes
 
 Dtype = Any
 
 
 class FEB(nn.Module):
-    """Frequency Enhancement Block (blocks.py:11-39), NHWC."""
+    """Frequency Enhancement Block (blocks.py:11-39), NHWC.
+
+    ``spatial_axis``: under spatially-sharded inference the FFT needs the
+    whole image; the block all-gathers its (small, LL-band-resolution) input
+    along the sharded axes, runs the spectrum pipeline replicated, and
+    slices its own shard of the inverse transform back out. The 1x1 convs
+    before/after stay local. A transpose-based distributed FFT would avoid
+    the replicated compute; at LL-band sizes the gather is the simpler
+    exact answer.
+    """
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        h, w = x.shape[1], x.shape[2]
         kw = dict(dtype=jnp.float32, param_dtype=self.param_dtype)
 
         x = jnp.clip(x.astype(jnp.float32), -10.0, 10.0)
         pre = Conv2d(c, 1, name="fpre", **kw)(x)
+
+        h_ax, w_ax = spatial_axes(self.spatial_axis)
+        h_local, w_local = pre.shape[1], pre.shape[2]
+        if h_ax is not None:
+            pre = jax.lax.all_gather(pre, h_ax, axis=1, tiled=True)
+        if w_ax is not None:
+            pre = jax.lax.all_gather(pre, w_ax, axis=2, tiled=True)
+        h, w = pre.shape[1], pre.shape[2]
         # norm="ortho" applied manually with Python-float constants:
         # jnp's norm= path eagerly dispatches an integer reduce-prod at trace
         # time, which this TPU backend doesn't implement as a
@@ -73,6 +92,14 @@ class FEB(nn.Module):
         spec = jax.lax.complex(mag * jnp.cos(pha), mag * jnp.sin(pha))
         # ortho inverse == backward inverse (1/N) scaled by sqrt(N).
         out = jnp.fft.irfft2(spec, s=(h, w), axes=(1, 2)) * float(np.sqrt(h * w))
+        if h_ax is not None:
+            out = jax.lax.dynamic_slice_in_dim(
+                out, jax.lax.axis_index(h_ax) * h_local, h_local, axis=1
+            )
+        if w_ax is not None:
+            out = jax.lax.dynamic_slice_in_dim(
+                out, jax.lax.axis_index(w_ax) * w_local, w_local, axis=2
+            )
         out = jnp.clip(out + x, -10.0, 10.0)
         return out.astype(self.dtype)
 
@@ -82,11 +109,13 @@ class ProcessBlock(nn.Module):
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        y = FEB(dtype=self.dtype, param_dtype=self.param_dtype, name="frequency_process")(x)
+        y = FEB(dtype=self.dtype, param_dtype=self.param_dtype,
+                spatial_axis=self.spatial_axis, name="frequency_process")(x)
         y = Conv2d(c, 1, name="cat", dtype=self.dtype, param_dtype=self.param_dtype)(y)
         return y + x
 
@@ -96,11 +125,13 @@ class FFAB(nn.Module):
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
 
         x = Conv2d(c, 1, name="conv0_pre", **kw)(x)
         x = ProcessBlock(name="conv0", **kw)(x)

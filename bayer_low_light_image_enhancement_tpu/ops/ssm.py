@@ -54,8 +54,12 @@ def selective_scan(
     C: jnp.ndarray,      # [B, L, N]  state->output projection (selective)
     D: Optional[jnp.ndarray] = None,  # [D] skip connection
     chunk_size: int = 256,
+    h0: Optional[jnp.ndarray] = None,  # [B, D, N] incoming state
+    return_state: bool = False,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Parallel selective scan, chunked for memory. Returns y [B, L, D].
+    """Parallel selective scan, chunked for memory. Returns y [B, L, D]
+    (or ``(y, h_final)`` with ``return_state``).
 
     A monolithic associative scan materialises the [B, L, D, N] discretised
     operands (1 GB-scale at WFB bottleneck sizes). Chunking runs a
@@ -64,6 +68,17 @@ def selective_scan(
     holds one chunk of [B, chunk, D, N] at a time while u/dt/B/C stream
     through once. All recurrence math in fp32 (exp of dt*A) regardless of
     compute dtype.
+
+    ``axis_name``: mesh axis carrying contiguous sequence chunks (spatial
+    H-sharding turns the raster token order into exactly this layout —
+    SURVEY.md §2.4 sequence parallelism). The in-chip chunk-carry algebra
+    lifts one level: every shard scans locally from zero state, shard
+    summaries ``(A_s = exp(sum_t dt_t A), h_out_s)`` are all-gathered (tiny
+    [B, D, N] each), the exclusive prefix composition
+    ``h -> A_s h + h_out_s`` gives each shard its true incoming state, and
+    a second local scan with that ``h0`` yields exact sequence-global
+    outputs. Costs one extra local scan pass + one all_gather; no
+    sequential cross-device dependency chain.
     """
     dtype_in = u.dtype
     bsz, L, d = u.shape
@@ -74,30 +89,59 @@ def selective_scan(
     Bf = B.astype(jnp.float32)
     Cf = C.astype(jnp.float32)
 
-    h0 = jnp.zeros((bsz, d, n), jnp.float32)
-    if L <= chunk_size or L % chunk_size:
-        y, _ = _scan_chunk(uf, delta, Af, Bf, Cf, h0)
+    if axis_name is not None:
+        assert h0 is None and not return_state
+        # Pass 1: local scan from zero state -> this shard's summary.
+        # (pvary: a replicated-zeros carry must be typed as shard-varying
+        # under shard_map's manual-axes checking.)
+        zero_h = jax.lax.pcast(
+            jnp.zeros((bsz, d, n), jnp.float32), (axis_name,), to="varying"
+        )
+        _, h_local = _run_chunked(uf, delta, Af, Bf, Cf, zero_h, chunk_size)
+        # prod_t exp(dt_t A) == exp(sum_t dt_t A): the shard's state decay.
+        A_shard = jnp.exp(jnp.einsum("bd,dn->bdn", jnp.sum(delta, axis=1), Af))
+        As = jax.lax.all_gather(A_shard, axis_name)  # [P, B, D, N]
+        Hs = jax.lax.all_gather(h_local, axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        h_in = jax.lax.pcast(
+            jnp.zeros((bsz, d, n), jnp.float32), (axis_name,), to="varying"
+        )
+        for s in range(As.shape[0]):
+            h_in = jnp.where(jnp.asarray(s) < idx, As[s] * h_in + Hs[s], h_in)
+        y, _ = _run_chunked(uf, delta, Af, Bf, Cf, h_in, chunk_size)
     else:
-        k = L // chunk_size
-
-        def to_chunks(t):
-            return jnp.moveaxis(
-                t.reshape(bsz, k, chunk_size, *t.shape[2:]), 1, 0
-            )
-
-        xs = (to_chunks(uf), to_chunks(delta), to_chunks(Bf), to_chunks(Cf))
-
-        def body(h, chunk):
-            uc, dc, bc, cc = chunk
-            yc, h_next = _scan_chunk(uc, dc, Af, bc, cc, h)
-            return h_next, yc
-
-        _, ys = jax.lax.scan(body, h0, xs)
-        y = jnp.moveaxis(ys, 0, 1).reshape(bsz, L, d)
+        if h0 is None:
+            h0 = jnp.zeros((bsz, d, n), jnp.float32)
+        y, h_fin = _run_chunked(uf, delta, Af, Bf, Cf, h0.astype(jnp.float32),
+                                chunk_size)
 
     if D is not None:
         y = y + uf * D.astype(jnp.float32)
-    return y.astype(dtype_in)
+    y = y.astype(dtype_in)
+    if return_state:
+        return y, h_fin
+    return y
+
+
+def _run_chunked(uf, delta, Af, Bf, Cf, h0, chunk_size):
+    """Chunked scan core: returns (y [B, L, D] fp32, h_final [B, D, N])."""
+    bsz, L, _ = uf.shape
+    if L <= chunk_size or L % chunk_size:
+        return _scan_chunk(uf, delta, Af, Bf, Cf, h0)
+    k = L // chunk_size
+
+    def to_chunks(t):
+        return jnp.moveaxis(t.reshape(bsz, k, chunk_size, *t.shape[2:]), 1, 0)
+
+    xs = (to_chunks(uf), to_chunks(delta), to_chunks(Bf), to_chunks(Cf))
+
+    def body(h, chunk):
+        uc, dc, bc, cc = chunk
+        yc, h_next = _scan_chunk(uc, dc, Af, bc, cc, h)
+        return h_next, yc
+
+    h_fin, ys = jax.lax.scan(body, h0, xs)
+    return jnp.moveaxis(ys, 0, 1).reshape(bsz, L, -1), h_fin
 
 
 def selective_scan_ref(u, delta, A, B, C, D=None):
@@ -142,6 +186,11 @@ class MambaBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # Mesh axis carrying contiguous sequence chunks (H-sharded raster
+    # tokens): the causal depthwise conv fetches its d_conv-1 warm-up
+    # tokens from the previous shard via ppermute, and the selective scan
+    # runs the cross-device chunk-carry algebra (see selective_scan).
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -168,7 +217,27 @@ class MambaBlock(nn.Module):
         conv_bias = self.param(
             "conv1d_bias", nn.initializers.zeros, (d_inner,), self.param_dtype
         )
-        xpad = jnp.pad(xi, ((0, 0), (self.d_conv - 1, 0), (0, 0)))
+        if self.axis_name is not None:
+            # Warm-up context: the last d_conv-1 tokens PRECEDING this shard
+            # in the global sequence. A shard may hold fewer than d_conv-1
+            # tokens (bottleneck stages go down to 1 token/shard), so the
+            # warm-up can span several shards: all-gather every shard's
+            # (tiny) tail and fold the ones before this shard, newest last.
+            # Zeros reach shard 0 — identical to the monolithic zero pad.
+            wu = self.d_conv - 1
+            t = min(xi.shape[1], wu)
+            tails = jax.lax.all_gather(xi[:, -t:], self.axis_name)  # [P,B,t,D]
+            idx = jax.lax.axis_index(self.axis_name)
+            buf = jax.lax.pcast(
+                jnp.zeros((xi.shape[0], wu, xi.shape[2]), xi.dtype),
+                (self.axis_name,), to="varying",
+            )
+            for s in range(tails.shape[0]):
+                cand = jnp.concatenate([buf, tails[s]], axis=1)[:, -wu:]
+                buf = jnp.where(jnp.asarray(s) < idx, cand, buf)
+            xpad = jnp.concatenate([buf, xi], axis=1)
+        else:
+            xpad = jnp.pad(xi, ((0, 0), (self.d_conv - 1, 0), (0, 0)))
         xc = jax.lax.conv_general_dilated(
             xpad,
             conv_kernel.astype(xi.dtype),
@@ -202,14 +271,16 @@ class MambaBlock(nn.Module):
         A = -jnp.exp(A_log)
         Dskip = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
 
-        if self.use_pallas:
+        if self.use_pallas and self.axis_name is None:
             from bayer_low_light_image_enhancement_tpu.kernels.ssm_scan import (
                 selective_scan_pallas,
             )
 
             y = selective_scan_pallas(xc, dt, A, B, C, Dskip)
         else:
-            y = selective_scan(xc, dt, A, B, C, Dskip)
+            # Sharded sequences use the XLA path: the Pallas kernel is
+            # per-device and takes no incoming state.
+            y = selective_scan(xc, dt, A, B, C, Dskip, axis_name=self.axis_name)
         y = y * jax.nn.silu(z)
         return nn.Dense(
             self.d_model, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,

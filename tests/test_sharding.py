@@ -254,3 +254,109 @@ class TestDataParallelEquivalence:
         p2 = jax.tree.leaves(s2.params)
         for a, b in zip(p1, p2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestShardedSSM:
+    """Cross-device selective scan (sequence parallelism over the spatial
+    mesh axis): exact vs the single-device scan. Ref: the CUDA Mamba scan
+    at ``/root/reference/RawFomer_WFB_FFAB/model.py:146-172`` is monolithic;
+    the TPU version lifts the in-chip chunk-carry algebra to the mesh."""
+
+    def test_selective_scan_sharded_matches(self):
+        from bayer_low_light_image_enhancement_tpu.ops.ssm import selective_scan
+
+        bsz, L, d, n = 2, 64, 8, 4
+        u = jnp.asarray(RNG.standard_normal((bsz, L, d)).astype(np.float32))
+        delta = jnp.asarray(
+            np.abs(RNG.standard_normal((bsz, L, d))).astype(np.float32) * 0.5
+        )
+        A = -jnp.asarray(np.abs(RNG.standard_normal((d, n))).astype(np.float32))
+        Bm = jnp.asarray(RNG.standard_normal((bsz, L, n)).astype(np.float32))
+        Cm = jnp.asarray(RNG.standard_normal((bsz, L, n)).astype(np.float32))
+        Dskip = jnp.asarray(RNG.standard_normal(d).astype(np.float32))
+
+        expected = selective_scan(u, delta, A, Bm, Cm, Dskip, chunk_size=16)
+
+        mesh = create_mesh(data=1, spatial=4)
+        seq = P(None, AXES.spatial, None)
+
+        def local(u_, d_, b_, c_):
+            return selective_scan(
+                u_, d_, A, b_, c_, Dskip, chunk_size=8, axis_name=AXES.spatial
+            )
+
+        sharded = jax.shard_map(
+            local, mesh=mesh, in_specs=(seq, seq, seq, seq), out_specs=seq
+        )
+        got = sharded(u, delta, Bm, Cm)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
+        )
+
+    def test_mamba_block_sharded_matches(self):
+        """MambaBlock under sequence sharding (incl. the causal depthwise
+        conv's cross-shard warm-up tokens)."""
+        from bayer_low_light_image_enhancement_tpu.ops.ssm import MambaBlock
+
+        bsz, L, d = 1, 64, 8
+        x = jnp.asarray(RNG.standard_normal((bsz, L, d)).astype(np.float32) * 0.3)
+        mono = MambaBlock(d_model=d, d_state=4)
+        v = mono.init(jax.random.PRNGKey(0), x)
+        expected = mono.apply(v, x)
+
+        mesh = create_mesh(data=1, spatial=4)
+        seq = P(None, AXES.spatial, None)
+        tiled = MambaBlock(d_model=d, d_state=4, axis_name=AXES.spatial)
+
+        sharded = jax.shard_map(
+            lambda xv: tiled.apply(v, xv), mesh=mesh, in_specs=(seq,),
+            out_specs=seq,
+        )
+        got = sharded(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
+        )
+
+
+class TestTiledWFB:
+    """H-sharded WFB inference == monolithic: DWT/IWT stay local (even
+    per-shard H), FEB gathers its FFT island, WM runs the cross-device
+    chunk-carry scan with conv warm-up halos. Ref: the reference evaluates
+    WFB full-frame monolithically (``RawFomer_WFB_FFAB/test.py:71-92``)."""
+
+    @pytest.mark.slow
+    def test_wfb_tiled_matches_monolithic(self):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        n_shards = 4
+        mesh = create_mesh(data=1, spatial=n_shards)
+        model_mono = get_model("rawformer_wfb", dim=8)
+        model_tiled = get_model("rawformer_wfb", dim=8, spatial_axis=AXES.spatial)
+
+        # Per-shard H must be a multiple of 32: the U-Net's /16 plus the
+        # in-stage Haar DWT halving at the bottleneck.
+        x = jnp.asarray(
+            RNG.uniform(0, 1, (1, 32 * n_shards, 32, 1)).astype(np.float32)
+        )
+        variables = model_mono.init(jax.random.PRNGKey(0), x[:, :32])
+        expected = jnp.clip(model_mono.apply(variables, x), 0.0, 1.0)
+
+        fwd = make_tiled_forward(model_tiled, mesh)
+        out = fwd(variables, shard_image(x, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=2e-5
+        )
+
+    def test_wfb_rejects_w_sharding(self):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+
+        model = get_model(
+            "rawformer_wfb", dim=8, spatial_axis=(AXES.spatial, AXES.spatial_w)
+        )
+        x = jnp.zeros((1, 16, 16, 1), jnp.float32)
+        with pytest.raises(ValueError, match="H-axis only"):
+            model.init(jax.random.PRNGKey(0), x)
