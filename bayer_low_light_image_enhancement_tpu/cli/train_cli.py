@@ -152,7 +152,17 @@ def build_model(args):
     dtype = jnp.float32 if getattr(args, "fp32", False) else jnp.bfloat16
     if getattr(args, "model", None):
         from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.models.registry import is_raw_domain
 
+        if is_raw_domain(args.model):
+            raise SystemExit(
+                f"model {args.model!r} is an enhancement-domain model "
+                "(packed Bayer planes -> enhanced planes, [B,H,W,4] -> "
+                "[B,H,W,4]); the RAW->RGB train/eval protocol does not "
+                "apply — the reference only smoke-tests these "
+                "(Transformer_FLCA_UNet.py:265-273). Use a RAW->RGB model "
+                "or drive it via the Python API."
+            )
         return get_model(args.model, dtype=dtype)
     return RawFormer(RawFormerConfig.from_size(args.model_size, dtype=dtype))
 

@@ -51,6 +51,7 @@ class Conv2d(nn.Module):
     stride: int = 1
     groups: int = 1
     use_bias: bool = True
+    dilation: int = 1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     spatial_axis: Optional[str] = None
@@ -79,6 +80,7 @@ class Conv2d(nn.Module):
             stride=self.stride,
             groups=self.groups,
             spatial_axis=self.spatial_axis,
+            dilation=self.dilation,
         )
 
 

@@ -22,22 +22,19 @@ from jax import lax
 
 from bayer_low_light_image_enhancement_tpu.models.common import Conv2d, torch_uniform_init
 from bayer_low_light_image_enhancement_tpu.models.registry import register_model
-from bayer_low_light_image_enhancement_tpu.ops.conv import global_mean
+from bayer_low_light_image_enhancement_tpu.ops.conv import conv2d, global_mean, spatial_axes
 from bayer_low_light_image_enhancement_tpu.ops.flca import SqueezeExcite, resize_bilinear
 from bayer_low_light_image_enhancement_tpu.ops.luma import bayer_luma_chroma
 
 Dtype = Any
 
 
-def frequency_split(x: jnp.ndarray, kernel_size: int = 3):
+def frequency_split(x: jnp.ndarray, kernel_size: int = 3, spatial_axis=None):
     """low = 3x3 avg pool (stride 1, same), high = x - low (reference :31-36)."""
     c = x.shape[-1]
     k = jnp.full((kernel_size, kernel_size, 1, 1), 1.0 / (kernel_size**2), x.dtype)
     k = jnp.tile(k, (1, 1, 1, c))
-    low = lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    low = conv2d(x, k, groups=c, spatial_axis=spatial_axis)
     return low, x - low
 
 
@@ -46,15 +43,17 @@ class PoolFLCA(nn.Module):
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, feat, y, cr, cb):
         _, h, w, c = feat.shape
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        y = resize_bilinear(y, h, w).astype(self.dtype)
-        cr = resize_bilinear(cr, h, w).astype(self.dtype)
-        cb = resize_bilinear(cb, h, w).astype(self.dtype)
-        y_low, y_high = frequency_split(y)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
+        y = resize_bilinear(y, h, w, self.spatial_axis).astype(self.dtype)
+        cr = resize_bilinear(cr, h, w, self.spatial_axis).astype(self.dtype)
+        cb = resize_bilinear(cb, h, w, self.spatial_axis).astype(self.dtype)
+        y_low, y_high = frequency_split(y, spatial_axis=self.spatial_axis)
         a_low = jax.nn.sigmoid(
             Conv2d(c, 3, use_bias=False, name="low_attn", **kw)(y_low).astype(jnp.float32)
         ).astype(self.dtype)
@@ -70,7 +69,8 @@ class PoolFLCA(nn.Module):
         beta = self.param("beta", nn.initializers.ones, (), self.param_dtype)
         gamma = self.param("gamma", nn.initializers.ones, (), self.param_dtype)
         x = feat * (1.0 + alpha * a_low + beta * a_high + gamma * a_chr).astype(feat.dtype)
-        se = SqueezeExcite(name="se", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        se = SqueezeExcite(name="se", dtype=self.dtype, param_dtype=self.param_dtype,
+                           spatial_axis=self.spatial_axis)(x)
         return x * se
 
 
@@ -79,6 +79,7 @@ class ResBlock(nn.Module):
     residual_scale: float = 0.2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -88,13 +89,14 @@ class ResBlock(nn.Module):
             "conv1_kernel", torch_uniform_init(c * 9), (3, 3, c, c), self.param_dtype
         )
         bias1 = self.param("conv1_bias", torch_uniform_init(c * 9), (c,), self.param_dtype)
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype), kernel1.astype(self.dtype), (1, 1), "SAME",
-            rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias1.astype(self.dtype)
+        y = conv2d(
+            x.astype(self.dtype), kernel1.astype(self.dtype),
+            bias1.astype(self.dtype), dilation=self.dilation,
+            spatial_axis=self.spatial_axis,
+        )
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(self.dtype)
-        y = Conv2d(c, 3, name="conv2", dtype=self.dtype, param_dtype=self.param_dtype)(y)
+        y = Conv2d(c, 3, name="conv2", dtype=self.dtype, param_dtype=self.param_dtype,
+                   spatial_axis=self.spatial_axis)(y)
         return x + y * self.residual_scale
 
 
@@ -103,10 +105,12 @@ class ResCA(nn.Module):
     residual_scale: float = 0.2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         x = ResBlock(dilation=self.dilation, residual_scale=self.residual_scale, name="rb", **kw)(x)
         se = SqueezeExcite(name="se", **kw)(x)
         return x * se + x  # residual-on-residual (reference :124)
@@ -119,6 +123,7 @@ class TokenTransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -127,10 +132,17 @@ class TokenTransformerBlock(nn.Module):
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln1")
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln2")
         tn = ln1(t.astype(jnp.float32)).astype(self.dtype)
+        # Token attention is global over the image. Under H-sharding,
+        # queries stay local (each shard only needs its own rows' outputs);
+        # keys/values are all-gathered — attention output is per-query, so
+        # no slice-back. Bottleneck-only (1/8 res), so the kv gather is
+        # small. This is the gather-kv form of sequence-parallel attention.
+        h_ax, _ = spatial_axes(self.spatial_axis)
+        kv = jax.lax.all_gather(tn, h_ax, axis=1, tiled=True) if h_ax else tn
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=c,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
-        )(tn, tn)
+        )(tn, kv)
         t = t + attn * 0.2
         tn = ln2(t.astype(jnp.float32)).astype(self.dtype)
         hdim = int(c * self.mlp_ratio)
@@ -147,10 +159,12 @@ class EncoderStage(nn.Module):
     guidance: str = "pool"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x, y, cr, cb):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         x = Conv2d(self.out_ch, 3, name="in_conv", **kw)(x)
         for i in range(self.num_blocks):
             x = ResCA(dilation=1 if i % 2 == 0 else 2, name=f"block{i}", **kw)(x)
@@ -169,12 +183,14 @@ class DecoderStage(nn.Module):
     out_ch: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x, skip):
         from bayer_low_light_image_enhancement_tpu.models.common import Upsample2x
 
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         x = Upsample2x(self.out_ch, name="up", **kw)(x)
         if x.shape[1:3] != skip.shape[1:3]:
             x = resize_bilinear(x, skip.shape[1], skip.shape[2])
@@ -199,6 +215,10 @@ class FLCAUNetConfig:
     guidance: str = "pool"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # H mesh axis for spatially-sharded full-resolution inference. The
+    # bottleneck token attention uses gather-kv sequence parallelism; SE
+    # pools and the luma max psum/pmax across shards.
+    spatial_axis: Any = None
 
 
 class TransformerFLCAUNet(nn.Module):
@@ -207,9 +227,14 @@ class TransformerFLCAUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        h_ax, w_ax = spatial_axes(cfg.spatial_axis)
+        if w_ax is not None:
+            raise ValueError("FLCA-UNet sharding is H-axis only")
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  spatial_axis=cfg.spatial_axis)
         x = x.astype(cfg.dtype)
-        y, cr, cb = bayer_luma_chroma(x.astype(jnp.float32))
+        y, cr, cb = bayer_luma_chroma(x.astype(jnp.float32),
+                                      spatial_axis=h_ax)
         y, cr, cb = (t.astype(cfg.dtype) for t in (y, cr, cb))
 
         g = cfg.guidance
@@ -243,8 +268,9 @@ class TransformerFLCAUNet(nn.Module):
         return out.astype(jnp.float32)
 
 
-register_model("flca_unet", lambda **kw: TransformerFLCAUNet(FLCAUNetConfig(**kw)))
+register_model("flca_unet", lambda **kw: TransformerFLCAUNet(FLCAUNetConfig(**kw)), raw_domain=True)
 register_model(
     "unet_luma_dwt",
     lambda **kw: TransformerFLCAUNet(FLCAUNetConfig(guidance="dwt", **kw)),
+    raw_domain=True,
 )

@@ -362,4 +362,4 @@ class SimpleFLCAUNet(nn.Module):
         return Conv2d(cfg.out_ch, 1, name="final", **kw)(d1).astype(jnp.float32)
 
 
-register_model("simple_flca_unet", lambda **kw: SimpleFLCAUNet(SimpleFLCAUNetConfig(**kw)))
+register_model("simple_flca_unet", lambda **kw: SimpleFLCAUNet(SimpleFLCAUNetConfig(**kw)), raw_domain=True)

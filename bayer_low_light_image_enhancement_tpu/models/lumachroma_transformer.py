@@ -199,4 +199,5 @@ class BayerLumaChromaTransformer(nn.Module):
 register_model(
     "lumachroma_transformer",
     lambda **kw: BayerLumaChromaTransformer(LumaChromaTransformerConfig(**kw)),
+    raw_domain=True,
 )

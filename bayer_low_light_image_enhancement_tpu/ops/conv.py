@@ -76,40 +76,62 @@ def conv2d(
     stride: int = 1,
     groups: int = 1,
     spatial_axis: Optional[str] = None,
+    dilation: int = 1,
 ) -> jnp.ndarray:
     """2D conv, NHWC x HWIO -> NHWC, SAME padding.
 
-    ``spatial_axis`` switches on halo exchange for H-sharded execution
-    (stride must be 1 in that mode; the model family only uses stride-1
-    spatial convs — down/upsampling is space<->depth, which stays local).
+    ``spatial_axis`` switches on halo exchange for sharded execution. The
+    sharded form matches XLA's SAME padding exactly for any stride/dilation
+    whose local extent divides the stride: SAME distributes ``eff_k -
+    stride`` pad rows as (total//2, total - total//2); we exchange the full
+    ``(eff_k-1)//2`` halo, then trim it down to that asymmetric split
+    (global-edge halos arrive as ppermute zeros == the SAME zeros), and run
+    VALID. ``eff_k = dilation*(k-1)+1``.
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
+    eff_kh = dilation * (kh - 1) + 1
+    eff_kw = dilation * (kw - 1) + 1
     h_ax, w_ax = spatial_axes(spatial_axis)
     slice_back = []  # (dim, mesh_axis, local_size) for gathered axes
+
+    def _shard_axis(x, dim, ax, eff_k):
+        """Returns (x, pad_pair) for one sharded axis."""
+        size = x.shape[dim]
+        halo = (eff_k - 1) // 2
+        if halo >= size:
+            # Halo exceeds the local extent (tiny bottleneck maps):
+            # single-hop ppermute can't supply it; gather the whole axis,
+            # conv SAME there, slice own part back out.
+            slice_back.append((dim, ax, size // stride if stride > 1 else size))
+            return lax.all_gather(x, ax, axis=dim, tiled=True), None
+        if size % stride:
+            raise ValueError(
+                f"sharded conv needs local extent {size} divisible by "
+                f"stride {stride}"
+            )
+        total = max(eff_k - stride, 0)
+        pt, pb = total // 2, total - total // 2
+        x = halo_pad(x, halo, ax, dim=dim)
+        # Trim the symmetric halo to SAME's asymmetric (pt, pb) split.
+        x = lax.slice_in_dim(x, halo - pt, halo + size + pb, axis=dim)
+        return x, (0, 0)
+
     if h_ax is not None or w_ax is not None:
-        if stride != 1:
-            raise ValueError("halo conv only supports stride 1")
-        pad_h = ((kh - 1) // 2, kh // 2)
-        pad_w = ((kw - 1) // 2, kw // 2)
-        # When the halo is as large as the local extent (tiny bottleneck
-        # maps, e.g. a 5x5 depthwise over 1 row/shard), single-hop ppermute
-        # can't supply it; gather the whole axis, conv SAME, slice back.
+        pad_h = None
+        pad_w = None
         if h_ax is not None:
-            halo_h = (kh - 1) // 2
-            if halo_h >= x.shape[1]:
-                slice_back.append((1, h_ax, x.shape[1]))
-                x = lax.all_gather(x, h_ax, axis=1, tiled=True)
-            else:
-                x = halo_pad(x, halo_h, h_ax, dim=1)
-                pad_h = (0, 0)
+            x, pad_h = _shard_axis(x, 1, h_ax, eff_kh)
         if w_ax is not None:
-            halo_w = (kw - 1) // 2
-            if halo_w >= x.shape[2]:
-                slice_back.append((2, w_ax, x.shape[2]))
-                x = lax.all_gather(x, w_ax, axis=2, tiled=True)
-            else:
-                x = halo_pad(x, halo_w, w_ax, dim=2)
-                pad_w = (0, 0)
+            x, pad_w = _shard_axis(x, 2, w_ax, eff_kw)
+
+        def same_pad(eff_k, size):
+            total = max((-(-size // stride) - 1) * stride + eff_k - size, 0)
+            return (total // 2, total - total // 2)
+
+        if pad_h is None:
+            pad_h = same_pad(eff_kh, x.shape[1])
+        if pad_w is None:
+            pad_w = same_pad(eff_kw, x.shape[2])
         padding = (pad_h, pad_w)
     else:
         padding = "SAME"
@@ -121,6 +143,7 @@ def conv2d(
         kernel.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )

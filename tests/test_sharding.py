@@ -360,3 +360,42 @@ class TestTiledWFB:
         x = jnp.zeros((1, 16, 16, 1), jnp.float32)
         with pytest.raises(ValueError, match="H-axis only"):
             model.init(jax.random.PRNGKey(0), x)
+
+
+class TestTiledFLCAUNet:
+    """H-sharded FLCA-UNet == monolithic: gather-kv token attention at the
+    bottleneck, dilated/strided halo convs, psum'd SE pools and luma max.
+    Ref: full-frame eval at ``/root/reference/test.py:107-116``."""
+
+    def _check(self, name):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        n_shards = 4
+        mesh = create_mesh(data=1, spatial=n_shards)
+        kw = dict(base=8, blocks=(1, 1, 1), heads=2)
+        model_mono = get_model(name, **kw)
+        model_tiled = get_model(name, spatial_axis=AXES.spatial, **kw)
+
+        x = jnp.asarray(
+            RNG.uniform(0, 1, (1, 16 * n_shards, 32, 4)).astype(np.float32)
+        )
+        variables = model_mono.init(jax.random.PRNGKey(0), x[:, :16])
+        expected = jnp.clip(model_mono.apply(variables, x), 0.0, 1.0)
+
+        fwd = make_tiled_forward(model_tiled, mesh)
+        out = fwd(variables, shard_image(x, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=2e-5
+        )
+
+    @pytest.mark.slow
+    def test_flca_unet_tiled(self):
+        self._check("flca_unet")
+
+    @pytest.mark.slow
+    def test_unet_luma_dwt_tiled(self):
+        self._check("unet_luma_dwt")
