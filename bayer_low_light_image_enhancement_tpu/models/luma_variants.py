@@ -36,7 +36,9 @@ from bayer_low_light_image_enhancement_tpu.models.common import (
 )
 from bayer_low_light_image_enhancement_tpu.models.flca_unet import frequency_split
 from bayer_low_light_image_enhancement_tpu.models.registry import register_model
-from bayer_low_light_image_enhancement_tpu.ops.conv import conv2d, leaky_relu
+from bayer_low_light_image_enhancement_tpu.ops.conv import (
+    conv2d, global_mean, global_max, global_min, leaky_relu, spatial_axes,
+)
 from bayer_low_light_image_enhancement_tpu.ops.luma import BT601
 from bayer_low_light_image_enhancement_tpu.ops.shuffle import depth_to_space, space_to_depth
 
@@ -52,7 +54,8 @@ _CFA_TAPS = {
 }
 
 
-def bayer_luma_cfa(mosaic: jnp.ndarray, pattern: str = "rggb") -> jnp.ndarray:
+def bayer_luma_cfa(mosaic: jnp.ndarray, pattern: str = "rggb",
+                   spatial_axis=None) -> jnp.ndarray:
     """[B, H, W, 1] mosaic -> [B, H, W, 1] min-max-normalised luma via 3x3
     CFA extraction convs (Attenblock.py:129-138)."""
     taps = _CFA_TAPS[pattern.lower()]
@@ -60,10 +63,11 @@ def bayer_luma_cfa(mosaic: jnp.ndarray, pattern: str = "rggb") -> jnp.ndarray:
     for ci, ch in enumerate("rgb"):
         for (i, j), wgt in taps[ch]:
             kernels[i, j, 0, ci] = wgt
-    rgb = conv2d(mosaic.astype(jnp.float32), jnp.asarray(kernels))
+    rgb = conv2d(mosaic.astype(jnp.float32), jnp.asarray(kernels),
+                 spatial_axis=spatial_axis)
     luma = jnp.sum(rgb * jnp.asarray(BT601, jnp.float32), axis=-1, keepdims=True)
-    lo = jnp.min(luma, axis=(1, 2, 3), keepdims=True)
-    hi = jnp.max(luma, axis=(1, 2, 3), keepdims=True)
+    lo = global_min(luma, (1, 2, 3), spatial_axis)
+    hi = global_max(luma, (1, 2, 3), spatial_axis)
     return (luma - lo) / (hi - lo + 1e-6)
 
 
@@ -81,10 +85,12 @@ class LumaCond(nn.Module):
     inner: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, luma):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         hidden = max(16, self.inner // 2)
         h = jnp.maximum(Conv2d(hidden, 3, name="net0", **kw)(luma), 0.0)
         h = jnp.maximum(Conv2d(hidden, 3, name="net1", **kw)(h), 0.0)
@@ -101,6 +107,7 @@ class LuminanceAwareMHSA(nn.Module):
     num_heads: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x, luma):
@@ -109,11 +116,13 @@ class LuminanceAwareMHSA(nn.Module):
         inner = self.num_heads * dh
         n = h * w
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h_ax, _ = spatial_axes(self.spatial_axis)
 
         qkv = Conv2d(inner * 3, 1, name="to_qkv", **kw)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        gamma, beta = LumaCond(inner, name="luma_cond", **kw)(luma)
+        gamma, beta = LumaCond(inner, name="luma_cond",
+                               spatial_axis=self.spatial_axis, **kw)(luma)
 
         def to_tokens(t):
             return t.reshape(b, n, self.num_heads, dh).transpose(0, 2, 1, 3)
@@ -123,13 +132,24 @@ class LuminanceAwareMHSA(nn.Module):
         k = g * to_tokens(k) + bta
         v = g * to_tokens(v) + bta
 
-        # Centered inverse-luma scalar bias on queries.
+        # Centered inverse-luma scalar bias on queries (mean is global over
+        # the image's tokens -> pmean across H shards).
         alpha = self.param("alpha", nn.initializers.zeros, (), self.param_dtype)
         inv = 1.0 - luma
-        inv = avg_pool(inv, 3, stride=1, pad="SAME")
-        inv = inv.reshape(b, n)
-        inv = inv - jnp.mean(inv, axis=-1, keepdims=True)
+        ones = jnp.full((3, 3, 1, 1), 1.0 / 9.0, jnp.float32)
+        inv = conv2d(inv.astype(jnp.float32), ones,
+                     spatial_axis=self.spatial_axis).astype(inv.dtype)
+        inv_mean = global_mean(inv, (1, 2, 3), self.spatial_axis)
+        inv = (inv - inv_mean).reshape(b, n)
         q = q + alpha.astype(q.dtype) * inv[:, None, :, None]
+
+        # Token attention is global: queries stay local, keys/values are
+        # all-gathered along the H shards (gather-kv sequence parallelism);
+        # softmax over the (complete) key axis is then local, and the
+        # attention output is per-query so no slice-back is needed.
+        if h_ax is not None:
+            k = jax.lax.all_gather(k, h_ax, axis=2, tiled=True)
+            v = jax.lax.all_gather(v, h_ax, axis=2, tiled=True)
 
         scale = dh ** -0.5
         attn = lax.dot_general(
@@ -152,11 +172,13 @@ class LumaMHSABlock(nn.Module):
     ffn_expansion: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x, luma):
         dim = x.shape[-1]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         x = x + LuminanceAwareMHSA(num_heads=self.num_heads, name="attn", **kw)(
             LayerNorm2d(name="norm1", param_dtype=self.param_dtype)(x).astype(self.dtype), luma
         )
@@ -176,6 +198,9 @@ class LumaMHSAConfig:
     bayer_pattern: str = "rggb"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # H mesh axis for spatially-sharded inference: gather-kv token MHSA at
+    # every stage, pmean'd inverse-luma bias, pmin/pmax luma normalisation.
+    spatial_axis: Any = None
 
 
 class LumaMHSARawFormer(nn.Module):
@@ -186,40 +211,48 @@ class LumaMHSARawFormer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
+        h_ax, w_ax = spatial_axes(cfg.spatial_axis)
+        if w_ax is not None:
+            raise ValueError("luma-MHSA sharding is H-axis only")
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 
-        luma = bayer_luma_cfa(x, cfg.bayer_pattern).astype(cfg.dtype)
+        luma = bayer_luma_cfa(x, cfg.bayer_pattern,
+                              spatial_axis=cfg.spatial_axis).astype(cfg.dtype)
+        # Non-overlapping stride-s pools stay local (per-shard H is a
+        # multiple of 16 -> 32 packed rows per shard at the deepest pool).
         lumas = {s: avg_pool(luma, s) for s in (2, 4, 8, 16)}
 
         def block(heads, name):
             return LumaMHSABlock(
-                num_heads=heads, ffn_expansion=cfg.ffn_expansion, name=name, **kw
+                num_heads=heads, ffn_expansion=cfg.ffn_expansion, name=name,
+                spatial_axis=cfg.spatial_axis, **kw
             )
 
         x = space_to_depth(x.astype(cfg.dtype), 2)
-        x = Conv2d(cfg.dim, 3, name="embedding", **kw)(x)
+        x = Conv2d(cfg.dim, 3, name="embedding",
+                   spatial_axis=cfg.spatial_axis, **kw)(x)
 
         x1 = block(cfg.num_heads[0], "enc1")(x, lumas[2])
-        d1 = Downsample(name="down1", **kw)(x1)
+        d1 = Downsample(name="down1", spatial_axis=cfg.spatial_axis, **kw)(x1)
         x2 = block(cfg.num_heads[1], "enc2")(d1, lumas[4])
-        d2 = Downsample(name="down2", **kw)(x2)
+        d2 = Downsample(name="down2", spatial_axis=cfg.spatial_axis, **kw)(x2)
         x3 = block(cfg.num_heads[2], "enc3")(d2, lumas[8])
-        d3 = Downsample(name="down3", **kw)(x3)
+        d3 = Downsample(name="down3", spatial_axis=cfg.spatial_axis, **kw)(x3)
         xb = block(cfg.num_heads[3], "bottleneck")(d3, lumas[16])
 
-        u1 = Upsample2x(cfg.dim * 4, name="up1", **kw)(xb)
-        p1 = Conv2d(cfg.dim * 4, 1, name="proj1", **kw)(jnp.concatenate([u1, x3], axis=-1))
+        u1 = Upsample2x(cfg.dim * 4, name="up1", spatial_axis=cfg.spatial_axis, **kw)(xb)
+        p1 = Conv2d(cfg.dim * 4, 1, name="proj1", spatial_axis=cfg.spatial_axis, **kw)(jnp.concatenate([u1, x3], axis=-1))
         y = block(cfg.num_heads[2], "dec1")(p1, lumas[8])
 
-        u2 = Upsample2x(cfg.dim * 2, name="up2", **kw)(y)
-        p2 = Conv2d(cfg.dim * 2, 1, name="proj2", **kw)(jnp.concatenate([u2, x2], axis=-1))
+        u2 = Upsample2x(cfg.dim * 2, name="up2", spatial_axis=cfg.spatial_axis, **kw)(y)
+        p2 = Conv2d(cfg.dim * 2, 1, name="proj2", spatial_axis=cfg.spatial_axis, **kw)(jnp.concatenate([u2, x2], axis=-1))
         y = block(cfg.num_heads[1], "dec2")(p2, lumas[4])
 
-        u3 = Upsample2x(cfg.dim, name="up3", **kw)(y)
-        p3 = Conv2d(cfg.dim, 1, name="proj3", **kw)(jnp.concatenate([u3, x1], axis=-1))
+        u3 = Upsample2x(cfg.dim, name="up3", spatial_axis=cfg.spatial_axis, **kw)(y)
+        p3 = Conv2d(cfg.dim, 1, name="proj3", spatial_axis=cfg.spatial_axis, **kw)(jnp.concatenate([u3, x1], axis=-1))
         y = block(cfg.num_heads[0], "dec3")(p3, lumas[2])
 
-        out = Conv2d(cfg.out_channels * 4, 3, name="output_conv", **kw)(y)
+        out = Conv2d(cfg.out_channels * 4, 3, name="output_conv", spatial_axis=cfg.spatial_axis, **kw)(y)
         return depth_to_space(out, 2).astype(jnp.float32)
 
 

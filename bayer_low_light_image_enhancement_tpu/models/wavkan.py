@@ -91,18 +91,21 @@ class KANAttention(nn.Module):
     wavelet_type: str = "mexican_hat"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dim = x.shape[-1]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         qkv = KANLinear(dim * 3, self.wavelet_type, name="qkv_kan", **kw)(x, train)
-        qkv = Conv2d(dim * 3, 3, groups=dim * 3, name="qkv_dwconv", **kw)(qkv)
+        qkv = Conv2d(dim * 3, 3, groups=dim * 3, name="qkv_dwconv",
+                     spatial_axis=self.spatial_axis, **kw)(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         temperature = self.param(
             "temperature", nn.initializers.ones, (self.num_heads,), self.param_dtype
         )
-        out = channel_attention(q, k, v, temperature, self.num_heads)
+        out = channel_attention(q, k, v, temperature, self.num_heads,
+                                self.spatial_axis)
         return KANLinear(dim, self.wavelet_type, name="proj", **kw)(out, train)
 
 
@@ -111,6 +114,7 @@ class KANFFN(nn.Module):
     wavelet_type: str = "mexican_hat"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -118,7 +122,8 @@ class KANFFN(nn.Module):
         hidden = dim * self.expansion
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = KANLinear(hidden, self.wavelet_type, name="kan1", **kw)(x, train)
-        x = Conv2d(hidden, 3, groups=hidden, name="dwconv", **kw)(x)
+        x = Conv2d(hidden, 3, groups=hidden, name="dwconv",
+                   spatial_axis=self.spatial_axis, **kw)(x)
         x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(self.dtype)
         return KANLinear(dim, self.wavelet_type, name="kan2", **kw)(x, train)
 
@@ -129,22 +134,26 @@ class KANConvTransformer(nn.Module):
     wavelet_type: str = "mexican_hat"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dim = x.shape[-1]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        conv = Conv2d(dim, 3, name="conv", **kw)(x)
+        sp = dict(spatial_axis=self.spatial_axis)
+        conv = Conv2d(dim, 3, name="conv", **kw, **sp)(x)
         t = x
         t = t + KANAttention(
-            num_heads=self.num_heads, wavelet_type=self.wavelet_type, name="attn", **kw
+            num_heads=self.num_heads, wavelet_type=self.wavelet_type, name="attn",
+            **kw, **sp
         )(LayerNorm2d(name="norm1", param_dtype=self.param_dtype)(t).astype(self.dtype), train)
         t = t + KANFFN(
-            expansion=self.ffn_expansion, wavelet_type=self.wavelet_type, name="ffn", **kw
+            expansion=self.ffn_expansion, wavelet_type=self.wavelet_type, name="ffn",
+            **kw, **sp
         )(LayerNorm2d(name="norm2", param_dtype=self.param_dtype)(t).astype(self.dtype), train)
         y = jnp.concatenate([conv, t], axis=-1)
         y = KANLinear(dim, self.wavelet_type, name="reduce", **kw)(y, train)
-        return leaky_relu(Conv2d(dim, 3, name="out_conv", **kw)(y), 0.2)
+        return leaky_relu(Conv2d(dim, 3, name="out_conv", **kw, **sp)(y), 0.2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +166,9 @@ class WavKANConfig:
     wavelet_type: str = "mexican_hat"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # H mesh axis for spatially-sharded inference: channel attention psums
+    # its gram/norms, convs halo-exchange; KANLinear is per-pixel (local).
+    spatial_axis: Any = None
 
 
 class WavKANRawFormer(nn.Module):
@@ -172,18 +184,21 @@ class WavKANRawFormer(nn.Module):
         def stage(heads, name):
             return KANConvTransformer(
                 num_heads=heads, ffn_expansion=cfg.ffn_expansion,
-                wavelet_type=cfg.wavelet_type, name=name, **kw,
+                wavelet_type=cfg.wavelet_type, name=name,
+                spatial_axis=cfg.spatial_axis, **kw,
             )
 
         x = x.astype(cfg.dtype)
         x = space_to_depth(x, 2)
-        x = Conv2d(cfg.dim, 3, name="embed", **kw)(x)
+        x = Conv2d(cfg.dim, 3, name="embed",
+                   spatial_axis=cfg.spatial_axis, **kw)(x)
 
         features = []
         for i in range(3):
             features.append(x)
             x = stage(cfg.num_heads[i], f"enc{i}")(x, train)
-            x = Conv2d(x.shape[-1] // 2, 3, name=f"down{i}_conv", **kw)(x)
+            x = Conv2d(x.shape[-1] // 2, 3, name=f"down{i}_conv",
+                       spatial_axis=cfg.spatial_axis, **kw)(x)
             x = space_to_depth(x, 2)
         x = stage(cfg.num_heads[3], "bottleneck")(x, train)
 
@@ -193,7 +208,8 @@ class WavKANRawFormer(nn.Module):
             x = jnp.concatenate([x, features[-(i + 1)]], axis=-1)
             x = stage(cfg.num_heads[2 - i], f"dec{i}")(x, train)
 
-        out = leaky_relu(Conv2d(cfg.out_ch * 4, 3, name="out_conv", **kw)(x), 0.2)
+        out = leaky_relu(Conv2d(cfg.out_ch * 4, 3, name="out_conv",
+                                spatial_axis=cfg.spatial_axis, **kw)(x), 0.2)
         return depth_to_space(out, 2).astype(jnp.float32)
 
 

@@ -181,3 +181,15 @@ def global_max(
     if names:
         m = lax.pmax(m, names)
     return m
+
+
+def global_min(
+    x: jnp.ndarray,
+    axes: Tuple[int, ...],
+    spatial_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    m = jnp.min(x, axis=axes, keepdims=True)
+    names = reduce_axis_names(spatial_axis, axes)
+    if names:
+        m = lax.pmin(m, names)
+    return m

@@ -399,3 +399,42 @@ class TestTiledFLCAUNet:
     @pytest.mark.slow
     def test_unet_luma_dwt_tiled(self):
         self._check("unet_luma_dwt")
+
+
+class TestTiledWavKANAndLumaMHSA:
+    """H-sharded inference == monolithic for the remaining RAW->RGB
+    variants: WavKAN (psum'd channel attention + halo convs; KANLinear is
+    per-pixel) and the luma-MHSA RawFormer (gather-kv token attention at
+    every stage, pmean'd inverse-luma bias, pmin/pmax luma norm)."""
+
+    def _check(self, name, **kw):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        n_shards = 4
+        mesh = create_mesh(data=1, spatial=n_shards)
+        model_mono = get_model(name, **kw)
+        model_tiled = get_model(name, spatial_axis=AXES.spatial, **kw)
+
+        x = jnp.asarray(
+            RNG.uniform(0, 1, (1, 16 * n_shards, 32, 1)).astype(np.float32)
+        )
+        variables = model_mono.init(jax.random.PRNGKey(0), x[:, :16])
+        expected = jnp.clip(model_mono.apply(variables, x), 0.0, 1.0)
+
+        fwd = make_tiled_forward(model_tiled, mesh)
+        out = fwd(variables, shard_image(x, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=2e-5
+        )
+
+    @pytest.mark.slow
+    def test_wavkan_tiled(self):
+        self._check("wavkan_rawformer", dim=8, num_heads=(2, 2, 2, 2))
+
+    @pytest.mark.slow
+    def test_luma_mhsa_tiled(self):
+        self._check("luma_mhsa_rawformer", dim=8, num_heads=(2, 2, 2, 2))
