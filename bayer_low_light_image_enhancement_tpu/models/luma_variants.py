@@ -270,17 +270,20 @@ class SimpleFLCA(nn.Module):
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, feat, y, cr, cb):
         from bayer_low_light_image_enhancement_tpu.ops.flca import resize_bilinear
 
         _, h, w, c = feat.shape
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        y = resize_bilinear(y, h, w).astype(self.dtype)
-        cr = resize_bilinear(cr, h, w).astype(self.dtype)
-        cb = resize_bilinear(cb, h, w).astype(self.dtype)
-        y_low, y_high = frequency_split(y, kernel_size=15)
+        sp = self.spatial_axis
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=sp)
+        y = resize_bilinear(y, h, w, sp).astype(self.dtype)
+        cr = resize_bilinear(cr, h, w, sp).astype(self.dtype)
+        cb = resize_bilinear(cb, h, w, sp).astype(self.dtype)
+        y_low, y_high = frequency_split(y, kernel_size=15, spatial_axis=sp)
         low_a = jax.nn.sigmoid(
             Conv2d(c, 3, name="low_attn", **kw)(y_low).astype(jnp.float32)
         ).astype(self.dtype)
@@ -300,17 +303,21 @@ class SimpleTokenTransformer(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        h_ax, _ = spatial_axes(self.spatial_axis)
         t = x.reshape(b, h * w, c)
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln1")
         tn = ln1(t.astype(jnp.float32)).astype(self.dtype)
+        # Gather-kv sequence-parallel token attention (queries local).
+        kv = jax.lax.all_gather(tn, h_ax, axis=1, tiled=True) if h_ax else tn
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=c,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
-        )(tn, tn)
+        )(tn, kv)
         t = t + attn
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln2")
         tn = ln2(t.astype(jnp.float32)).astype(self.dtype)
@@ -324,10 +331,12 @@ class ConvBlock(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=self.spatial_axis)
         x = jnp.maximum(Conv2d(self.features, 3, name="conv1", **kw)(x), 0.0)
         return jnp.maximum(Conv2d(self.features, 3, name="conv2", **kw)(x), 0.0)
 
@@ -346,6 +355,9 @@ class SimpleFLCAUNetConfig:
     heads: int = 4
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # H mesh axis for spatially-sharded inference (gather-kv token
+    # attention at every stage; max pools are stride-aligned and local).
+    spatial_axis: Any = None
 
 
 class SimpleFLCAUNet(nn.Module):
@@ -357,7 +369,11 @@ class SimpleFLCAUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
+        h_ax, w_ax = spatial_axes(cfg.spatial_axis)
+        if w_ax is not None:
+            raise ValueError("simple-FLCA-UNet sharding is H-axis only")
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        cv = dict(spatial_axis=cfg.spatial_axis)
         from bayer_low_light_image_enhancement_tpu.ops.luma import bayer_luma_chroma
 
         x = x.astype(cfg.dtype)
@@ -365,25 +381,25 @@ class SimpleFLCAUNet(nn.Module):
         y, cr, cb = (t.astype(cfg.dtype) for t in (y, cr, cb))
 
         def enc(feats, name):
-            return ConvBlock(feats, name=name, **kw)
+            return ConvBlock(feats, name=name, **kw, **cv)
 
         e1 = enc(cfg.base_ch, "enc1")(x)
-        e1 = SimpleTokenTransformer(cfg.heads, name="trans1", **kw)(e1)
-        e1 = SimpleFLCA(name="flca1", **kw)(e1, y, cr, cb)
+        e1 = SimpleTokenTransformer(cfg.heads, name="trans1", **kw, **cv)(e1)
+        e1 = SimpleFLCA(name="flca1", **kw, **cv)(e1, y, cr, cb)
 
         e2 = enc(cfg.base_ch * 2, "enc2")(max_pool2(e1))
-        e2 = SimpleTokenTransformer(cfg.heads, name="trans2", **kw)(e2)
-        e2 = SimpleFLCA(name="flca2", **kw)(e2, y, cr, cb)
+        e2 = SimpleTokenTransformer(cfg.heads, name="trans2", **kw, **cv)(e2)
+        e2 = SimpleFLCA(name="flca2", **kw, **cv)(e2, y, cr, cb)
 
         e3 = enc(cfg.base_ch * 4, "enc3")(max_pool2(e2))
-        e3 = SimpleTokenTransformer(cfg.heads, name="trans3", **kw)(e3)
-        e3 = SimpleFLCA(name="flca3", **kw)(e3, y, cr, cb)
+        e3 = SimpleTokenTransformer(cfg.heads, name="trans3", **kw, **cv)(e3)
+        e3 = SimpleFLCA(name="flca3", **kw, **cv)(e3, y, cr, cb)
 
         # Reference bottleneck feeds pooled e3 (base*4 channels) into a
         # transformer declared at base*8; we keep the consistent width.
         bneck = max_pool2(e3)
-        bneck = SimpleTokenTransformer(cfg.heads, name="bottleneck", **kw)(bneck)
-        bneck = SimpleFLCA(name="flca_bottleneck", **kw)(bneck, y, cr, cb)
+        bneck = SimpleTokenTransformer(cfg.heads, name="bottleneck", **kw, **cv)(bneck)
+        bneck = SimpleFLCA(name="flca_bottleneck", **kw, **cv)(bneck, y, cr, cb)
 
         d3 = Upsample2x(cfg.base_ch * 4, name="up3", **kw)(bneck)
         d3 = enc(cfg.base_ch * 4, "dec3")(jnp.concatenate([d3, e3], axis=-1))

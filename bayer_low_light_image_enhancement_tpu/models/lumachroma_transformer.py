@@ -22,19 +22,22 @@ from bayer_low_light_image_enhancement_tpu.models.common import Conv2d, Upsample
 from bayer_low_light_image_enhancement_tpu.models.flca_unet import frequency_split
 from bayer_low_light_image_enhancement_tpu.models.luma_variants import SimpleTokenTransformer
 from bayer_low_light_image_enhancement_tpu.models.registry import register_model
-from bayer_low_light_image_enhancement_tpu.ops.conv import leaky_relu
+from bayer_low_light_image_enhancement_tpu.ops.conv import (
+    global_mean, leaky_relu, spatial_axes,
+)
 from bayer_low_light_image_enhancement_tpu.ops.flca import resize_bilinear
 from bayer_low_light_image_enhancement_tpu.ops.luma import bayer_luma_chroma
 
 Dtype = Any
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5, spatial_axis=None) -> jnp.ndarray:
     """torch nn.InstanceNorm2d default: per-sample, per-channel spatial
-    normalisation, no affine params."""
+    normalisation, no affine params. Stats are global over the image ->
+    pmean across spatial shards."""
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    mu = global_mean(xf, (1, 2), spatial_axis)
+    var = global_mean(xf * xf, (1, 2), spatial_axis) - mu * mu
     return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
@@ -45,31 +48,40 @@ class MultiKernelFLCA(nn.Module):
     freq_kernels: Tuple[int, ...] = (7, 15, 31)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, feat, y, cr, cb):
         _, h, w, c = feat.shape
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        y_r = resize_bilinear(y, h, w).astype(self.dtype)
-        cr_r = resize_bilinear(cr, h, w).astype(self.dtype)
-        cb_r = resize_bilinear(cb, h, w).astype(self.dtype)
+        sp = self.spatial_axis
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=sp)
+        y_r = resize_bilinear(y, h, w, sp).astype(self.dtype)
+        cr_r = resize_bilinear(cr, h, w, sp).astype(self.dtype)
+        cb_r = resize_bilinear(cb, h, w, sp).astype(self.dtype)
 
-        low, _ = frequency_split(y_r, kernel_size=15)
+        # Large pool kernels (halo up to 15 rows; deep stages fall back to
+        # the gather path inside conv2d when the halo exceeds the shard).
+        low, _ = frequency_split(y_r, kernel_size=15, spatial_axis=sp)
         highs = jnp.concatenate(
-            [frequency_split(y_r, kernel_size=k)[1] for k in self.freq_kernels], axis=-1
+            [frequency_split(y_r, kernel_size=k, spatial_axis=sp)[1]
+             for k in self.freq_kernels], axis=-1
         )
 
         low_a = jax.nn.sigmoid(
-            instance_norm(Conv2d(c, 3, use_bias=False, name="low_attn", **kw)(low)).astype(jnp.float32)
+            instance_norm(Conv2d(c, 3, use_bias=False, name="low_attn", **kw)(low),
+                          spatial_axis=sp).astype(jnp.float32)
         ).astype(self.dtype)
         high_a = jnp.tanh(
-            instance_norm(Conv2d(c, 3, use_bias=False, name="high_attn", **kw)(highs)).astype(jnp.float32)
+            instance_norm(Conv2d(c, 3, use_bias=False, name="high_attn", **kw)(highs),
+                          spatial_axis=sp).astype(jnp.float32)
         ).astype(self.dtype)
         chroma_a = jax.nn.sigmoid(
             instance_norm(
                 Conv2d(c, 3, use_bias=False, name="chroma_attn", **kw)(
                     jnp.concatenate([cr_r, cb_r], axis=-1)
-                )
+                ),
+                spatial_axis=sp,
             ).astype(jnp.float32)
         ).astype(self.dtype)
 
@@ -85,21 +97,26 @@ class LocalEnhanceTransformer(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h_ax, _ = spatial_axes(self.spatial_axis)
         t = x.reshape(b, h * w, c)
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln1")
         tn = ln1(t.astype(jnp.float32)).astype(self.dtype)
+        # Gather-kv sequence-parallel token attention (queries local).
+        kv = jax.lax.all_gather(tn, h_ax, axis=1, tiled=True) if h_ax else tn
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=c,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
-        )(tn, tn)
+        )(tn, kv)
         t = t + attn
 
-        local = Conv2d(c, 3, groups=c, name="local_dw", **kw)(x)
+        local = Conv2d(c, 3, groups=c, name="local_dw",
+                       spatial_axis=self.spatial_axis, **kw)(x)
         local = jax.nn.gelu(local.astype(jnp.float32), approximate=False).astype(self.dtype)
         x_comb = t.reshape(b, h, w, c) + local
 
@@ -116,12 +133,17 @@ class INConvBlock(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = leaky_relu(instance_norm(Conv2d(self.features, 3, name="conv1", **kw)(x)), 0.2)
-        return leaky_relu(instance_norm(Conv2d(self.features, 3, name="conv2", **kw)(x)), 0.2)
+        sp = self.spatial_axis
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  spatial_axis=sp)
+        x = leaky_relu(instance_norm(Conv2d(self.features, 3, name="conv1", **kw)(x),
+                                     spatial_axis=sp), 0.2)
+        return leaky_relu(instance_norm(Conv2d(self.features, 3, name="conv2", **kw)(x),
+                                        spatial_axis=sp), 0.2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +156,9 @@ class LumaChromaTransformerConfig:
     heads: int = 4
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # H mesh axis for spatially-sharded inference (gather-kv token
+    # attention, pmean'd InstanceNorm stats, halo pool splits).
+    spatial_axis: Any = None
 
 
 class BayerLumaChromaTransformer(nn.Module):
@@ -142,19 +167,24 @@ class BayerLumaChromaTransformer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
+        sp = cfg.spatial_axis
+        h_ax, w_ax = spatial_axes(sp)
+        if w_ax is not None:
+            raise ValueError("lumachroma sharding is H-axis only")
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        cv = dict(spatial_axis=sp)
         raw = x.astype(cfg.dtype)
-        y, cr, cb = bayer_luma_chroma(raw.astype(jnp.float32))
+        y, cr, cb = bayer_luma_chroma(raw.astype(jnp.float32), spatial_axis=h_ax)
         y, cr, cb = (t.astype(cfg.dtype) for t in (y, cr, cb))
 
         def encoder(out_ch, name, inp):
-            z = Conv2d(out_ch, 3, name=f"{name}_in", **kw)(inp)
+            z = Conv2d(out_ch, 3, name=f"{name}_in", **kw, **cv)(inp)
             for i in range(cfg.num_blocks):
-                z = INConvBlock(out_ch, name=f"{name}_block{i}", **kw)(z)
-            z = LocalEnhanceTransformer(cfg.heads, name=f"{name}_trans", **kw)(z)
-            z = MultiKernelFLCA(cfg.freq_kernels, name=f"{name}_flca", **kw)(z, y, cr, cb)
+                z = INConvBlock(out_ch, name=f"{name}_block{i}", **kw, **cv)(z)
+            z = LocalEnhanceTransformer(cfg.heads, name=f"{name}_trans", **kw, **cv)(z)
+            z = MultiKernelFLCA(cfg.freq_kernels, name=f"{name}_flca", **kw, **cv)(z, y, cr, cb)
             skip = z
-            z = Conv2d(out_ch, 3, stride=2, name=f"{name}_down", **kw)(z)
+            z = Conv2d(out_ch, 3, stride=2, name=f"{name}_down", **kw, **cv)(z)
             return z, skip
 
         x1, s1 = encoder(cfg.base, "enc1", raw)
@@ -163,9 +193,9 @@ class BayerLumaChromaTransformer(nn.Module):
 
         # Bottleneck: conv-down -> transformer -> FLCA -> conv-up.
         bch = cfg.base * 4
-        b = Conv2d(bch, 3, stride=2, name="bott_down", **kw)(x3)
-        b = LocalEnhanceTransformer(cfg.heads, name="bott_trans", **kw)(b)
-        b = MultiKernelFLCA(cfg.freq_kernels, name="bott_flca", **kw)(b, y, cr, cb)
+        b = Conv2d(bch, 3, stride=2, name="bott_down", **kw, **cv)(x3)
+        b = LocalEnhanceTransformer(cfg.heads, name="bott_trans", **kw, **cv)(b)
+        b = MultiKernelFLCA(cfg.freq_kernels, name="bott_flca", **kw, **cv)(b, y, cr, cb)
         b = Upsample2x(bch, name="bott_up", **kw)(b)
         if b.shape[1:3] != x3.shape[1:3]:
             b = resize_bilinear(b, x3.shape[1], x3.shape[2])
@@ -173,18 +203,18 @@ class BayerLumaChromaTransformer(nn.Module):
         def decoder(out_ch, name, inp, skip):
             z = Upsample2x(out_ch, name=f"{name}_up", **kw)(inp)
             if z.shape[1:3] != skip.shape[1:3]:
-                z = resize_bilinear(z, skip.shape[1], skip.shape[2])
+                z = resize_bilinear(z, skip.shape[1], skip.shape[2], sp)
             z = jnp.concatenate([z, skip], axis=-1)
-            z = Conv2d(out_ch, 3, name=f"{name}_fuse1", **kw)(z)
-            z = jax.nn.gelu(instance_norm(z).astype(jnp.float32), approximate=False).astype(cfg.dtype)
-            z = Conv2d(out_ch, 3, name=f"{name}_fuse2", **kw)(z)
-            return jax.nn.gelu(instance_norm(z).astype(jnp.float32), approximate=False).astype(cfg.dtype)
+            z = Conv2d(out_ch, 3, name=f"{name}_fuse1", **kw, **cv)(z)
+            z = jax.nn.gelu(instance_norm(z, spatial_axis=sp).astype(jnp.float32), approximate=False).astype(cfg.dtype)
+            z = Conv2d(out_ch, 3, name=f"{name}_fuse2", **kw, **cv)(z)
+            return jax.nn.gelu(instance_norm(z, spatial_axis=sp).astype(jnp.float32), approximate=False).astype(cfg.dtype)
 
         d3 = decoder(cfg.base * 4, "dec3", b, s3)
         d2 = decoder(cfg.base * 2, "dec2", d3, s2)
         d1 = decoder(cfg.base, "dec1", d2, s1)
 
-        out = Conv2d(cfg.base // 2, 3, name="tail_conv", **kw)(d1)
+        out = Conv2d(cfg.base // 2, 3, name="tail_conv", **kw, **cv)(d1)
         out = jax.nn.gelu(out.astype(jnp.float32), approximate=False).astype(cfg.dtype)
         out = Conv2d(cfg.out_ch, 1, name="tail_out", **kw)(out)
 
@@ -192,7 +222,7 @@ class BayerLumaChromaTransformer(nn.Module):
         if cfg.in_ch != cfg.out_ch:
             res = Conv2d(cfg.out_ch, 1, name="res_proj", **kw)(raw)
         if res.shape[1:3] != out.shape[1:3]:
-            res = resize_bilinear(res, out.shape[1], out.shape[2])
+            res = resize_bilinear(res, out.shape[1], out.shape[2], sp)
         return (out + res).astype(jnp.float32)
 
 

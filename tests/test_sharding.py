@@ -438,3 +438,42 @@ class TestTiledWavKANAndLumaMHSA:
     @pytest.mark.slow
     def test_luma_mhsa_tiled(self):
         self._check("luma_mhsa_rawformer", dim=8, num_heads=(2, 2, 2, 2))
+
+
+class TestTiledRawDomainVariants:
+    """H-sharded == monolithic for the enhancement-domain (packed-planes)
+    models: InstanceNorm stats pmean across shards, gather-kv token
+    attention per stage, large-kernel (7/15/31) pool splits via halo or
+    gather fallback."""
+
+    def _check(self, name, **kw):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        n_shards = 4
+        mesh = create_mesh(data=1, spatial=n_shards)
+        model_mono = get_model(name, **kw)
+        model_tiled = get_model(name, spatial_axis=AXES.spatial, **kw)
+
+        x = jnp.asarray(
+            RNG.uniform(0, 1, (1, 16 * n_shards, 32, 4)).astype(np.float32)
+        )
+        variables = model_mono.init(jax.random.PRNGKey(0), x[:, :16])
+        expected = jnp.clip(model_mono.apply(variables, x), 0.0, 1.0)
+
+        fwd = make_tiled_forward(model_tiled, mesh)
+        out = fwd(variables, shard_image(x, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=3e-5
+        )
+
+    @pytest.mark.slow
+    def test_lumachroma_transformer_tiled(self):
+        self._check("lumachroma_transformer", base=8, num_blocks=1, heads=2)
+
+    @pytest.mark.slow
+    def test_simple_flca_unet_tiled(self):
+        self._check("simple_flca_unet", base_ch=8, heads=2)
