@@ -10,6 +10,8 @@ Axes:
   * ``data``    — batch data parallelism (gradient all-reduce rides ICI).
   * ``spatial`` — image-height sharding for full-resolution tiled inference
                   (halo exchange + psum'd channel-attention grams).
+  * ``tensor``  — Megatron-style tensor parallelism over transformer-block
+                  channels (parallel/tensor.py).
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ class AxisNames:
     data: str = "data"
     spatial: str = "spatial"      # image H sharding
     spatial_w: str = "spatial_w"  # image W sharding (2D spatial meshes)
+    tensor: str = "tensor"        # channel sharding (tensor parallelism)
 
 
 AXES = AxisNames()
@@ -36,27 +39,32 @@ def create_mesh(
     data: int = -1,
     spatial: int = 1,
     spatial_w: int = 1,
+    tensor: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, spatial[, spatial_w]) mesh.
+    """Build a (data, spatial[, spatial_w], tensor) mesh.
 
     ``data=-1`` consumes all remaining devices. The mesh is laid out so that
-    the ``spatial`` axes (which carry halo ppermutes every conv layer) map
-    to mesh-adjacent devices. ``spatial_w > 1`` adds image-width sharding
-    for 2D spatial tiling of very large frames.
+    the ``tensor`` and ``spatial`` axes (which carry per-layer collectives —
+    TP all-reduces and halo ppermutes respectively) map to mesh-adjacent
+    devices, while ``data`` (one gradient psum per step) varies slowest.
+    ``spatial_w > 1`` adds image-width sharding for 2D spatial tiling of
+    very large frames.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    sp = spatial * spatial_w
+    inner = spatial * spatial_w * tensor
     if data == -1:
-        if n % sp != 0:
-            raise ValueError(f"{n} devices not divisible by spatial={sp}")
-        data = n // sp
-    if data * sp > n:
-        raise ValueError(f"mesh {data}x{spatial}x{spatial_w} needs {data * sp} devices, have {n}")
-    dev_array = np.asarray(devices[: data * sp]).reshape(data, spatial, spatial_w)
-    return Mesh(dev_array, (AXES.data, AXES.spatial, AXES.spatial_w))
+        if n % inner != 0:
+            raise ValueError(f"{n} devices not divisible by spatial*tensor={inner}")
+        data = n // inner
+    if data * inner > n:
+        raise ValueError(
+            f"mesh {data}x{spatial}x{spatial_w}x{tensor} needs {data * inner} devices, have {n}"
+        )
+    dev_array = np.asarray(devices[: data * inner]).reshape(data, spatial, spatial_w, tensor)
+    return Mesh(dev_array, (AXES.data, AXES.spatial, AXES.spatial_w, AXES.tensor))
 
 
 def initialize_multihost(

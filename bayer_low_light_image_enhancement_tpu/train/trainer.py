@@ -107,9 +107,14 @@ class Trainer:
         if mesh is not None:
             self._batch_sharding = NamedSharding(mesh, P(AXES.data))
             self._replicated = NamedSharding(mesh, P())
+            self._tp = dict(mesh.shape).get(AXES.tensor, 1) > 1
         else:
             self._batch_sharding = None
             self._replicated = None
+            self._tp = False
+        # Megatron-style param shardings (parallel/tensor.py); built lazily in
+        # init() once the state structure exists, then baked into the steps.
+        self._state_sharding = None
 
         self.train_step = self._build_train_step()
         self.eval_step = self._build_eval_step()
@@ -119,7 +124,20 @@ class Trainer:
         variables = self.model.init(rng, sample_input, train=False)
         state = TrainState.create(variables, self.tx)
         if self.mesh is not None:
-            state = jax.device_put(state, self._replicated)
+            if self._tp:
+                from bayer_low_light_image_enhancement_tpu.parallel.tensor import (
+                    tensor_shardings,
+                )
+
+                self._state_sharding = tensor_shardings(state, self.mesh)
+                state = jax.device_put(state, self._state_sharding)
+                # Rebuild the jitted steps with the TP layout baked in so the
+                # updated state keeps the same sharding step over step
+                # (stable donation, no resharding between steps).
+                self.train_step = self._build_train_step()
+                self.eval_step = self._build_eval_step()
+            else:
+                state = jax.device_put(state, self._replicated)
         return state
 
     # ------------------------------------------------------------------
@@ -164,11 +182,15 @@ class Trainer:
 
         kwargs = {"donate_argnums": (0,)}
         if self.mesh is not None:
+            state_sharding = (
+                self._state_sharding if self._state_sharding is not None
+                else self._replicated
+            )
             kwargs["in_shardings"] = (
-                self._replicated,
+                state_sharding,
                 (self._batch_sharding, self._batch_sharding),
             )
-            kwargs["out_shardings"] = (self._replicated, self._replicated)
+            kwargs["out_shardings"] = (state_sharding, self._replicated)
         return jax.jit(step_fn, **kwargs)
 
     def _build_eval_step(self):
@@ -180,11 +202,13 @@ class Trainer:
             return pred, per_image
 
         kwargs = {}
-        if self.mesh is not None:
+        if self.mesh is not None and self._state_sharding is None:
             kwargs["in_shardings"] = (
                 self._replicated,
                 (self._batch_sharding, self._batch_sharding),
             )
+        # In TP mode the variables arrive committed with their Megatron
+        # shardings from init(); jit honours committed layouts directly.
         return jax.jit(eval_fn, **kwargs)
 
     def eval_variables(self, state: TrainState):
