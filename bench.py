@@ -23,23 +23,17 @@ import time
 
 import numpy as np
 
-# Compiles the REAL fused forward at the bench shape in a subprocess,
-# populating the persistent compile cache; the in-process run then
-# compiles in seconds. A deadline here bounds worst-case bench time.
+# Compiles the EXACT fused scan program the bench runs, in a subprocess,
+# populating the persistent compile cache; the in-process compile is then
+# a cache hit. A deadline here bounds worst-case bench time.
 _WARM = """
-import jax, jax.numpy as jnp, numpy as np
-from bayer_low_light_image_enhancement_tpu.models.fused_apply import make_fused_forward
-from bayer_low_light_image_enhancement_tpu.models.rawformer import RawFormer, RawFormerConfig
-model = RawFormer(RawFormerConfig.from_size("S", dtype=jnp.bfloat16))
-x = jnp.zeros((8, 512, 512, 1), jnp.float32)
-params = model.init(jax.random.PRNGKey(0), x[:1, :64, :64])
-fn = jax.jit(make_fused_forward(model))
-jax.block_until_ready(fn(params, x))
+import bench
+bench.build_bench(fused=True, compile_only=True)
 print("WARM_OK")
 """
 
 
-def _pallas_compiler_healthy(warm_timeout_s: float = 480.0) -> bool:
+def _pallas_compiler_healthy(warm_timeout_s: float = 600.0) -> bool:
     """Deadline-bounded health gate: warm-compile the ACTUAL fused forward
     in a subprocess. The remote compile cache persists across processes,
     so on success the main process compiles in seconds; on deadline expiry
@@ -70,7 +64,13 @@ def _pallas_compiler_healthy(warm_timeout_s: float = 480.0) -> bool:
         return False
 
 
-def main():
+BATCH, H, W, STEPS = 8, 512, 512, 50
+
+
+def build_bench(fused: bool, compile_only: bool = False):
+    """Build (run_n, params, x, model) for the bench program. The SAME
+    function constructs the program in the warm subprocess and in main()
+    so the persistent compile cache keys match exactly."""
     import jax
     import jax.numpy as jnp
 
@@ -82,44 +82,17 @@ def main():
         RawFormerConfig,
     )
 
-    cfg = RawFormerConfig.from_size("S", dtype=jnp.bfloat16)
-    model = RawFormer(cfg)
-    # Production inference path (same as cli/test_cli.py): TransformerBlocks
-    # at C<=64 run as the fused Pallas kernel on TPU; plain XLA elsewhere.
-    # The Pallas route is gated on a compiler health probe: this box's
-    # remote Mosaic compile service intermittently degrades to minutes per
-    # trivial kernel (observed 2026-08-17: 76s, then >115s, for an add-one
-    # pallas_call that normally takes ~2s). When that happens the fused
-    # path would hang the bench; the XLA path (~0.77x fused) still reports
-    # a real number.
-    use_fused = jax.default_backend() == "tpu" and _pallas_compiler_healthy()
-    apply_fn = make_fused_forward(model) if use_fused else model.apply
-    if jax.default_backend() == "tpu" and not use_fused:
-        print(
-            "[bench] WARNING: pallas compile probe failed/slow; "
-            "falling back to plain XLA path",
-            file=sys.stderr,
-        )
-
-    batch, h, w = 8, 512, 512
+    model = RawFormer(RawFormerConfig.from_size("S", dtype=jnp.bfloat16))
+    apply_fn = make_fused_forward(model) if fused else model.apply
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (batch, h, w, 1)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 1)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x[:1, :64, :64])
-
-    # FLOP count from XLA's own cost analysis (fp32 lowering of one image).
-    try:
-        cost = jax.jit(model.apply).lower(params, x[:1]).compile().cost_analysis()
-        flops_per_image = float(cost.get("flops", 0.0))
-    except Exception:
-        flops_per_image = 0.0
 
     # Device-side loop: remote/tunneled backends can acknowledge dispatches
     # before execution finishes, so host-side per-call timing lies. A
     # lax.scan with a carried data dependency forces sequential execution
-    # of `steps` forwards inside ONE dispatch; wall time / steps is honest
+    # of STEPS forwards inside ONE dispatch; wall time / steps is honest
     # up to a single dispatch overhead.
-    steps = 50
-
     @jax.jit
     def run_n(params, x):
         def body(carry, _):
@@ -128,10 +101,41 @@ def main():
             nxt = x + jnp.mean(y, axis=-1, keepdims=True) * 1e-6
             return nxt, ()
 
-        final, _ = jax.lax.scan(body, x, None, length=steps)
+        final, _ = jax.lax.scan(body, x, None, length=STEPS)
         return jnp.sum(final)
 
-    float(run_n(params, x))  # warmup/compile
+    if compile_only:
+        run_n.lower(params, x).compile()
+        return None
+    return run_n, params, x, model
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    # Production inference path (same as cli/test_cli.py): TransformerBlocks
+    # at C<=64 run as the fused Pallas kernel on TPU; plain XLA elsewhere.
+    # Gated by the deadline-bounded warm-compile (_pallas_compiler_healthy
+    # docstring); the XLA fallback (~0.77x fused) still reports a real
+    # number when the remote compile service is degraded.
+    use_fused = jax.default_backend() == "tpu" and _pallas_compiler_healthy()
+    if jax.default_backend() == "tpu" and not use_fused:
+        print(
+            "[bench] WARNING: fused warm-compile failed/slow; "
+            "falling back to plain XLA path",
+            file=sys.stderr,
+        )
+    run_n, params, x, model = build_bench(fused=use_fused)
+    batch, h, w, steps = BATCH, H, W, STEPS
+
+    # FLOP count from XLA's own cost analysis (fp32 lowering of one image).
+    try:
+        cost = jax.jit(model.apply).lower(params, x[:1]).compile().cost_analysis()
+        flops_per_image = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_image = 0.0
+
+    float(run_n(params, x))  # warmup/compile (cache-hot after the gate)
 
     t0 = time.perf_counter()
     reps = 3
