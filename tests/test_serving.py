@@ -84,6 +84,7 @@ class TestPredictor:
         np.testing.assert_allclose(pred(x), expected, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestArtifact:
     def test_export_load_round_trip(self, model_and_vars, tmp_path):
         model, variables = model_and_vars
@@ -107,6 +108,7 @@ class TestArtifact:
             fn(RNG.uniform(0, 1, (1, 48, 48, 1)).astype(np.float32))
 
 
+@pytest.mark.slow
 class TestExportCli:
     def test_cli_random_init_export(self, tmp_path, capsys):
         from bayer_low_light_image_enhancement_tpu.cli import export_cli
