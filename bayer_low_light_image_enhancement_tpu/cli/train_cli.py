@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--base_lr", type=float, default=1e-4)
     p.add_argument("--loss", default="charbonnier", choices=["charbonnier", "l1", "mse", "sid_color"])
     p.add_argument("--num_chips", type=int, default=-1, help="-1 = all devices")
+    p.add_argument(
+        "--tensor_chips",
+        type=int,
+        default=1,
+        help="tensor-parallel degree: Megatron column/row sharding of the "
+        "transformer blocks over a `tensor` mesh axis (parallel/tensor.py); "
+        "composes with data parallelism (num_chips counts data-parallel "
+        "groups)",
+    )
     p.add_argument("--data_root", default=".")
     p.add_argument("--cache_dir", default=None, help="decoded-ARW npz cache")
     p.add_argument("--save_dir", default="result")
@@ -178,14 +187,15 @@ def main(argv=None):
     val_loader = Loader(val_ds, min(args.batch_size, len(val_ds)), shuffle=False, drop_last=False)
     steps_per_epoch = max(1, len(train_loader))
 
-    n_chips = args.num_chips if args.num_chips != -1 else len(jax.devices())
+    avail = len(jax.devices()) // max(1, args.tensor_chips)
+    n_chips = args.num_chips if args.num_chips != -1 else avail
     if args.batch_size % n_chips != 0:
         # Largest chip count that divides the batch (batch is sharded over
         # the data axis; XLA requires even division).
         n_chips = max(d for d in range(1, n_chips + 1) if args.batch_size % d == 0)
         print(f"note: batch_size {args.batch_size} not divisible by device count; "
               f"using {n_chips} data-parallel chip(s)")
-    mesh = create_mesh(data=n_chips)
+    mesh = create_mesh(data=n_chips, tensor=args.tensor_chips)
     model = build_model(args)
     trainer = Trainer(
         model,
