@@ -77,19 +77,24 @@ class Predictor:
         return cls(model, restored.variables(), **kw)
 
     @classmethod
-    def from_torch(cls, model, pth_path: str, **kw) -> "Predictor":
-        """Import a reference ``.pth`` checkpoint (canonical RawFormer tree;
-        ``/root/reference/test.py:88-93`` load path)."""
+    def from_torch(cls, model, pth_path: str, family: str = "rawformer", **kw) -> "Predictor":
+        """Import a reference ``.pth`` checkpoint
+        (``/root/reference/test.py:88-93`` load path). ``family`` selects the
+        importer: ``rawformer`` (canonical tree), ``wfb``
+        (``RawFomer_WFB_FFAB/model.py:437-508``), or ``flca``
+        (``FrequencyawareLumaChromaAttentionRAWFormer.py``)."""
         import jax
         import jax.numpy as jnp
 
-        from bayer_low_light_image_enhancement_tpu.compat.torch_import import (
-            import_rawformer_state_dict,
-            load_torch_checkpoint,
-        )
+        from bayer_low_light_image_enhancement_tpu.compat import torch_import as ti
 
+        importer = {
+            "rawformer": ti.import_rawformer_state_dict,
+            "wfb": ti.import_wfb_state_dict,
+            "flca": ti.import_flca_state_dict,
+        }[family]
         params = jax.tree.map(
-            jnp.asarray, import_rawformer_state_dict(load_torch_checkpoint(pth_path))
+            jnp.asarray, importer(ti.load_torch_checkpoint(pth_path))
         )
         return cls(model, params, **kw)
 
