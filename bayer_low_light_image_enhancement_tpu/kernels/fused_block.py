@@ -405,6 +405,7 @@ def fused_transformer_block(
     group: Optional[int] = None,
     interpret: Optional[bool] = None,
     chunked: Optional[bool] = None,
+    return_residuals: bool = False,
 ) -> jnp.ndarray:
     """Run one full TransformerBlock on x [B, H, W, C] -> [B, H, W, C].
 
@@ -662,4 +663,9 @@ def fused_transformer_block(
         out = out.reshape(b_img, g_sp, h, w_seg + 4, c)[:, :, :, 2 : 2 + w_seg]
         out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b_img, h, g_sp * w_seg, c)
         out = out[:, :, :w_img]
+    if return_residuals:
+        # Tiny per-image attention state for the fused backward
+        # (kernels/fused_block_bwd.py): [B,C,C] gram + [B,C] sumsqs + the
+        # folded apply matrix. Everything else is recomputed in VMEM.
+        return out, (gram_img, qss_img, kss_img, apply_img)
     return out

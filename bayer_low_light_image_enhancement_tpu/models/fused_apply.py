@@ -75,12 +75,19 @@ def fused_apply(
     variables: Any,
     *args,
     tile_rows: Optional[int] = None,
+    trainable: bool = False,
     method=None,
     **kwargs,
 ):
     """``model.apply(variables, *args)`` with TransformerBlocks fused.
 
     ``tile_rows``: kernel H-tile override (default: fused_block's default).
+    ``trainable``: route blocks through the custom-VJP version
+    (kernels/fused_block_bwd.py) so the fused kernels run in TRAINING too —
+    forward and backward both Pallas, grads parity-tested against fp32
+    truth (and tighter than XLA's own bf16 autodiff on the cancelling bias
+    sums). Blocks outside the trainable geometry (see fused_block_bwd
+    docstring) keep the plain XLA path.
     Falls back to the plain path automatically for spatially-sharded blocks.
     """
     kw = {} if tile_rows is None else {"tile_rows": tile_rows}
@@ -88,6 +95,19 @@ def fused_apply(
     def interceptor(next_fn, iargs, ikwargs, context):
         module = context.module
         if context.method_name != "__call__":
+            return next_fn(*iargs, **ikwargs)
+        if trainable:
+            if _should_fuse(module, iargs, ikwargs):
+                from bayer_low_light_image_enhancement_tpu.kernels.fused_block_bwd import (
+                    fused_transformer_block_train,
+                    trainable_fusable,
+                )
+
+                if trainable_fusable(iargs[0]):
+                    params = module.variables["params"]
+                    return fused_transformer_block_train(
+                        iargs[0], params, module.num_heads
+                    )
             return next_fn(*iargs, **ikwargs)
         if _should_fuse_stage(module, iargs, ikwargs):
             params = module.variables["params"]
@@ -107,11 +127,18 @@ def fused_apply(
         return model.apply(variables, *args, method=method, **kwargs)
 
 
-def make_fused_forward(model: nn.Module, tile_rows: Optional[int] = None):
+def make_fused_forward(
+    model: nn.Module,
+    tile_rows: Optional[int] = None,
+    trainable: bool = False,
+):
     """jit-friendly closure: (variables, x) -> y with fused blocks."""
 
     @functools.wraps(model.apply)
-    def forward(variables, x):
-        return fused_apply(model, variables, x, tile_rows=tile_rows)
+    def forward(variables, x, **kwargs):
+        return fused_apply(
+            model, variables, x, tile_rows=tile_rows, trainable=trainable,
+            **kwargs,
+        )
 
     return forward

@@ -71,6 +71,12 @@ class TrainConfig:
     # ~30% more FLOPs for activation memory, enabling larger per-chip
     # batches on the 512^2-crop workload.
     remat: bool = False
+    # Run TransformerBlocks through the fused Pallas forward+backward
+    # (kernels/fused_block_bwd.py custom VJP) during training. Saves only
+    # x + [C,C]-sized attention state between passes (remat-grade memory)
+    # and accumulates weight grads in fp32 in VMEM. Blocks outside the
+    # kernel's geometry (C>64, spatial sharding, W-packing) keep XLA.
+    fused_blocks: bool = False
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -154,7 +160,15 @@ class Trainer:
                         variables, inp, train=True, mutable=["batch_stats"]
                     )
                 else:
-                    apply = lambda v, x: self.model.apply(v, x, train=True)
+                    if self.cfg.fused_blocks:
+                        from bayer_low_light_image_enhancement_tpu.models.fused_apply import (
+                            make_fused_forward,
+                        )
+
+                        fwd = make_fused_forward(self.model, trainable=True)
+                        apply = lambda v, x: fwd(v, x, train=True)
+                    else:
+                        apply = lambda v, x: self.model.apply(v, x, train=True)
                     if self.cfg.remat:
                         apply = jax.checkpoint(apply)
                     pred = apply(variables, inp)
