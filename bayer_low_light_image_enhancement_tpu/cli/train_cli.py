@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--remat", action="store_true", help="rematerialise forward in backward")
+    p.add_argument(
+        "--no_fused_train",
+        action="store_true",
+        help="disable the fused Pallas TransformerBlock forward+backward in "
+        "training (default on for bf16 TPU training: 1.4x step time, "
+        "BENCHMARKS.md)",
+    )
     p.add_argument("--val_every", type=int, default=1)
     p.add_argument("--save_every", type=int, default=50)
     p.add_argument(
@@ -205,6 +212,11 @@ def main(argv=None):
             steps_per_epoch=steps_per_epoch,
             loss=args.loss,
             remat=args.remat,
+            fused_blocks=(
+                not args.no_fused_train
+                and not args.fp32
+                and jax.default_backend() == "tpu"
+            ),
         ),
         mesh=mesh,
     )
