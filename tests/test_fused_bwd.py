@@ -84,6 +84,10 @@ class TestGradParity:
     def test_odd_height_padding(self):
         _grad_parity(B=4, H=13, W=10, C=64, HEADS=8, tile_rows=8)
 
+    def test_c48_g4_rawformer_b_geometry(self):
+        # RawFormer-B level 1: C=48, g=4 -> 192 lanes (1.5 lane tiles).
+        _grad_parity(B=8, H=16, W=10, C=48, HEADS=8, tile_rows=8)
+
 
 class TestGeometryGate:
     def test_fusable_predicate(self):
