@@ -16,6 +16,7 @@ Training keeps the plain XLA path (the kernel defines no VJP).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -24,13 +25,22 @@ import jax
 from bayer_low_light_image_enhancement_tpu.kernels.fused_block import (
     fused_transformer_block,
 )
+from bayer_low_light_image_enhancement_tpu.ops import wpack as wpack_ops
 from bayer_low_light_image_enhancement_tpu.kernels.fused_stage import (
     fused_stage_tail,
 )
 from bayer_low_light_image_enhancement_tpu.models.common import (
+    Conv2d,
     ConvTransformer,
     TransformerBlock,
 )
+
+# Named lane-starved convs of the canonical dim-32 model rewritten in the
+# W-packed domain at inference (ops/wpack.py): the 4->32 embedding, the
+# level-1 decoder skip-reduce (64->32 at the largest spatial extent), and
+# the 32->12 output head. Deeper convs already fill the lanes; measured
+# gates in BENCHMARKS.md.
+_PACKED_CONV_NAMES = frozenset({"embedding", "channel_reduce3", "conv_out"})
 
 
 def _fusable(module: nn.Module, args) -> bool:
@@ -56,6 +66,40 @@ def _should_fuse(module: nn.Module, args, kwargs) -> bool:
     return isinstance(module, TransformerBlock) and _fusable(module, args)
 
 
+def _packed_tail_default() -> bool:
+    return os.environ.get("BAYER_TPU_PACKED_TAIL", "1") == "1"
+
+
+def _should_pack_conv(module: nn.Module, args) -> bool:
+    return (
+        isinstance(module, Conv2d)
+        and module.name in _PACKED_CONV_NAMES
+        and module.spatial_axis is None
+        and module.stride == 1
+        and module.dilation == 1
+        and module.groups == 1
+        and bool(args)
+        and wpack_ops.conv_fusable(args[0], 4)
+        and args[0].shape[-1] <= 64
+    )
+
+
+def _should_pack_tail(module: nn.Module, args) -> bool:
+    """W-phase-packed stage tail (ops/wpack.py): rewrite the ConvTransformer
+    conv-branch + reduce + conv_out in the free-reshape packed layout where
+    the dense convs are lane-starved (C=32 -> 4x128 lanes). Gated to the
+    canonical (inner=None) unsharded stage; the transformer branch must be
+    kernel-fusable too so the whole stage leaves the XLA slow path."""
+    return (
+        isinstance(module, ConvTransformer)
+        and module.inner is None
+        and module.spatial_axis is None
+        and bool(args)
+        and getattr(args[0], "ndim", 0) == 4
+        and wpack_ops.tail_fusable(args[0], 4)
+    )
+
+
 def _should_fuse_stage(module: nn.Module, args, kwargs) -> bool:
     """Whole-stage fusion (kernels/fused_stage.py) measured a LOSS on chip
     and stays disabled: at [8,256,256,32] the Pallas tail runs 3.33 ms vs
@@ -76,6 +120,7 @@ def fused_apply(
     *args,
     tile_rows: Optional[int] = None,
     trainable: bool = False,
+    packed_tail: Optional[bool] = None,
     method=None,
     **kwargs,
 ):
@@ -88,9 +133,14 @@ def fused_apply(
     truth (and tighter than XLA's own bf16 autodiff on the cancelling bias
     sums). Blocks outside the trainable geometry (see fused_block_bwd
     docstring) keep the plain XLA path.
+    ``packed_tail``: also rewrite the C=32 ConvTransformer tails in the
+    W-phase-packed layout (ops/wpack.py). Defaults to the
+    ``BAYER_TPU_PACKED_TAIL`` env var (on). Inference-only.
     Falls back to the plain path automatically for spatially-sharded blocks.
     """
     kw = {} if tile_rows is None else {"tile_rows": tile_rows}
+    if packed_tail is None:
+        packed_tail = _packed_tail_default()
 
     def interceptor(next_fn, iargs, ikwargs, context):
         module = context.module
@@ -109,6 +159,21 @@ def fused_apply(
                         iargs[0], params, module.num_heads
                     )
             return next_fn(*iargs, **ikwargs)
+        if packed_tail and _should_pack_conv(module, iargs):
+            p = module.variables["params"]
+            x = iargs[0].astype(module.dtype)
+            return wpack_ops.packed_conv(x, p["kernel"], p.get("bias"), f=4)
+        if (
+            packed_tail
+            and _should_pack_tail(module, iargs)
+            and _fusable(module, iargs)
+        ):
+            params = module.variables["params"]
+            x = iargs[0].astype(module.dtype)
+            t = fused_transformer_block(
+                x, params["transformer"], module.num_heads, **kw
+            )
+            return wpack_ops.packed_stage_tail(x, t, params, f=4)
         if _should_fuse_stage(module, iargs, ikwargs):
             params = module.variables["params"]
             x = iargs[0]
