@@ -147,6 +147,31 @@ def fused_apply(
         if context.method_name != "__call__":
             return next_fn(*iargs, **ikwargs)
         if trainable:
+            # Packed convs/tails are plain XLA ops (autodiff derives their
+            # packed backward at the same full lane occupancy), so they
+            # apply in training too; only the transformer branch needs the
+            # custom-VJP kernel.
+            if packed_tail and _should_pack_conv(module, iargs):
+                p = module.variables["params"]
+                x = iargs[0].astype(module.dtype)
+                return wpack_ops.packed_conv(x, p["kernel"], p.get("bias"), f=4)
+            if (
+                packed_tail
+                and _should_pack_tail(module, iargs)
+                and _fusable(module, iargs)
+            ):
+                from bayer_low_light_image_enhancement_tpu.kernels.fused_block_bwd import (
+                    fused_transformer_block_train,
+                    trainable_fusable,
+                )
+
+                if trainable_fusable(iargs[0]):
+                    params = module.variables["params"]
+                    x = iargs[0].astype(module.dtype)
+                    t = fused_transformer_block_train(
+                        x, params["transformer"], module.num_heads
+                    )
+                    return wpack_ops.packed_stage_tail(x, t, params, f=4)
             if _should_fuse(module, iargs, ikwargs):
                 from bayer_low_light_image_enhancement_tpu.kernels.fused_block_bwd import (
                     fused_transformer_block_train,

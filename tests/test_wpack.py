@@ -128,3 +128,57 @@ class TestPackedNamedConv:
         assert wp.conv_fusable(jnp.zeros((1, 8, 64, 32)), 4)
         assert not wp.conv_fusable(jnp.zeros((1, 8, 63, 32)), 4)
         assert not wp.conv_fusable(jnp.zeros((1, 8, 12, 32)), 4)
+
+
+@pytest.mark.slow
+def test_trainable_packed_stage_grad_parity():
+    """Packed tail + custom-VJP TB in training: every param grad within the
+    XLA-bf16-vs-fp32 noise yardstick (methodology of tests/test_fused_bwd)."""
+    from bayer_low_light_image_enhancement_tpu.models import fused_apply as fa
+
+    B, H, W, C, HEADS = 8, 16, 16, 32, 8
+    x32 = jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)), jnp.float32)
+    mod16 = ConvTransformer(num_heads=HEADS, dtype=jnp.bfloat16)
+    mod32 = ConvTransformer(num_heads=HEADS, dtype=jnp.float32)
+    params = mod16.init(jax.random.PRNGKey(0), x32)["params"]
+
+    loss32 = lambda p, xx: jnp.sum(mod32.apply({"params": p}, xx) ** 2)
+    loss16 = lambda p, xx: jnp.sum(
+        mod16.apply({"params": p}, xx).astype(jnp.float32) ** 2
+    )
+
+    calls = []
+    real = wp.packed_stage_tail
+
+    def counted(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    def lossk(p, xx):
+        from unittest import mock
+
+        with mock.patch.object(fa.wpack_ops, "packed_stage_tail", counted):
+            y = fa.fused_apply(
+                mod16, {"params": p}, xx, trainable=True, packed_tail=True
+            )
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g32 = jax.grad(loss32)(params, x32)
+    g16 = jax.grad(loss16)(params, x32.astype(jnp.bfloat16))
+    gk = jax.grad(lossk)(params, x32.astype(jnp.bfloat16))
+    assert calls, "trainable packed-tail gate never fired"
+
+    f32 = jax.tree_util.tree_flatten_with_path(g32)[0]
+    f16 = dict(jax.tree_util.tree_flatten_with_path(g16)[0])
+    fk = dict(jax.tree_util.tree_flatten_with_path(gk)[0])
+    for path, a in f32:
+        a = np.asarray(a, np.float32)
+        b = np.asarray(f16[path], np.float32)
+        c = np.asarray(fk[path], np.float32)
+        s = np.abs(a).max() + 1e-8
+        e16 = np.abs(a - b).max() / s
+        ek = np.abs(a - c).max() / s
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        assert ek <= max(3 * e16, 2e-2), (
+            f"{name}: packed {ek:.3e} vs noise yardstick {e16:.3e}"
+        )
