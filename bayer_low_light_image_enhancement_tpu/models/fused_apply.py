@@ -32,6 +32,7 @@ from bayer_low_light_image_enhancement_tpu.kernels.fused_stage import (
 from bayer_low_light_image_enhancement_tpu.models.common import (
     Conv2d,
     ConvTransformer,
+    Downsample,
     TransformerBlock,
 )
 
@@ -81,6 +82,18 @@ def _should_pack_conv(module: nn.Module, args) -> bool:
         and bool(args)
         and wpack_ops.conv_fusable(args[0], 4)
         and args[0].shape[-1] <= 64
+    )
+
+
+def _should_pack_down(module: nn.Module, args) -> bool:
+    return (
+        isinstance(module, Downsample)
+        and module.spatial_axis is None
+        and bool(args)
+        and getattr(args[0], "ndim", 0) == 4
+        and args[0].shape[-1] * 4 == 128     # C=32: the lane-starved level
+        and args[0].shape[1] % 2 == 0
+        and wpack_ops.conv_fusable(args[0], 4)
     )
 
 
@@ -155,6 +168,10 @@ def fused_apply(
                 p = module.variables["params"]
                 x = iargs[0].astype(module.dtype)
                 return wpack_ops.packed_conv(x, p["kernel"], p.get("bias"), f=4)
+            if packed_tail and _should_pack_down(module, iargs):
+                p = module.variables["params"]
+                x = iargs[0].astype(module.dtype)
+                return wpack_ops.packed_downsample(x, p["conv"]["kernel"], f=4)
             if (
                 packed_tail
                 and _should_pack_tail(module, iargs)
@@ -188,6 +205,10 @@ def fused_apply(
             p = module.variables["params"]
             x = iargs[0].astype(module.dtype)
             return wpack_ops.packed_conv(x, p["kernel"], p.get("bias"), f=4)
+        if packed_tail and _should_pack_down(module, iargs):
+            p = module.variables["params"]
+            x = iargs[0].astype(module.dtype)
+            return wpack_ops.packed_downsample(x, p["conv"]["kernel"], f=4)
         if (
             packed_tail
             and _should_pack_tail(module, iargs)

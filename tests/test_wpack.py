@@ -182,3 +182,14 @@ def test_trainable_packed_stage_grad_parity():
         assert ek <= max(3 * e16, 2e-2), (
             f"{name}: packed {ek:.3e} vs noise yardstick {e16:.3e}"
         )
+
+
+def test_packed_downsample_parity():
+    from bayer_low_light_image_enhancement_tpu.models.common import Downsample
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 32)) * 0.3, jnp.float32)
+    mod = Downsample()
+    v = mod.init(jax.random.PRNGKey(0), x)
+    y_ref = mod.apply(v, x)
+    y_packed = wp.packed_downsample(x, v["params"]["conv"]["kernel"], f=4)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_packed), atol=1e-5)
