@@ -179,6 +179,21 @@ def build_model(args):
                 "(Transformer_FLCA_UNet.py:265-273). Use a RAW->RGB model "
                 "or drive it via the Python API."
             )
+        import jax
+
+        if (
+            jax.default_backend() == "tpu"
+            and not getattr(args, "no_fused_train", False)
+            and not getattr(args, "fp32", False)
+        ):
+            # Fused Pallas selective scan in TRAINING too: the scan has a
+            # custom-VJP Pallas backward (kernels/ssm_scan.py), so SSM
+            # models (WFB) train through the fused path. Same opt-out flag
+            # as the fused TransformerBlock.
+            try:
+                return get_model(args.model, dtype=dtype, ssm_pallas=True)
+            except TypeError:
+                pass
         return get_model(args.model, dtype=dtype)
     return RawFormer(RawFormerConfig.from_size(args.model_size, dtype=dtype))
 

@@ -24,8 +24,19 @@ Lanes hold D (blocked to 128), sublanes hold N — the [L_c, N, D_blk] f32
 working set is ~2 MB per tensor at L_c=128.
 
 All recurrence math in fp32 regardless of input dtype (matches
-``ops.ssm.selective_scan``). Inference-only (no VJP); training and tests can
-keep the XLA path.
+``ops.ssm.selective_scan``).
+
+Training: ``selective_scan_pallas_train`` adds a custom VJP whose backward
+is itself a Pallas kernel. The scan's adjoint is a *reverse* scan
+
+    lam_t = C_t (x) dy_t + a_{t+1} * lam_{t+1}        (lam: [N, D])
+
+so the backward mirrors the forward's schedule with the L-chunk grid
+reversed: the forward saves each chunk's [N, D_blk] *entry* state (nl tiny
+slabs, not the [L, N, D] trajectory — remat-grade memory), the backward
+recomputes h inside the chunk, runs the reverse Hillis-Steele for lam with
+a mu = a_first*lam_first carry in scratch between chunks, and emits all six
+input grads with fp32 VMEM accumulators.
 """
 
 from __future__ import annotations
@@ -146,3 +157,269 @@ def selective_scan_pallas(
         interpret=interpret,
     )(up, dtp, bp, cp, at, dsk)
     return y[:, :L, :d]
+
+
+# ---------------------------------------------------------------------------
+# Training path: custom-VJP with a Pallas backward.
+# ---------------------------------------------------------------------------
+
+
+def _discretize(u, dt, bsel, a_t):
+    """a_t = exp(dt*A), b_t = (dt*u)*B_t  -> [Lc, N, Db] fp32 pair."""
+    a = jnp.exp(dt[:, None, :] * a_t[None, :, :])
+    b = (dt * u)[:, None, :] * bsel[:, :, None]
+    return a, b
+
+
+def _hs_fwd(a, b, lc):
+    """Inclusive forward Hillis-Steele scan of the composition monoid."""
+    k = 1
+    while k < lc:
+        a_prev = jnp.concatenate(
+            [jnp.ones((k,) + a.shape[1:], _F32), a[: lc - k]], axis=0
+        )
+        b_prev = jnp.concatenate(
+            [jnp.zeros((k,) + b.shape[1:], _F32), b[: lc - k]], axis=0
+        )
+        b = a * b_prev + b
+        a = a * a_prev
+        k *= 2
+    return a, b
+
+
+def _hs_rev(alpha, c, lc):
+    """Reverse inclusive scan: lam_t = c_t + alpha_t * lam_{t+1}."""
+    k = 1
+    while k < lc:
+        lam_next = jnp.concatenate(
+            [c[k:], jnp.zeros((k,) + c.shape[1:], _F32)], axis=0
+        )
+        al_next = jnp.concatenate(
+            [alpha[k:], jnp.ones((k,) + alpha.shape[1:], _F32)], axis=0
+        )
+        c = c + alpha * lam_next
+        alpha = alpha * al_next
+        k *= 2
+    return c
+
+
+def _ssm_fwd_states_kernel(
+    u_ref, dt_ref, b_ref, c_ref, a_ref, dsk_ref,
+    y_ref, st_ref,
+    h_ref,
+    *, lc: int,
+):
+    """Forward kernel that also dumps each chunk's ENTRY state."""
+    l = pl.program_id(2)
+
+    @pl.when(l == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    st_ref[0, 0, 0] = h_ref[...]
+
+    u = u_ref[0].astype(_F32)
+    dt = dt_ref[0].astype(_F32)
+    a, b = _discretize(u, dt, b_ref[0].astype(_F32), a_ref[...])
+    a, b = _hs_fwd(a, b, lc)
+    h = b + a * h_ref[...][None, :, :]
+    h_ref[...] = h[lc - 1]
+    y = jnp.sum(c_ref[0].astype(_F32)[:, :, None] * h, axis=1)
+    y = y + u * dsk_ref[0].astype(_F32)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _ssm_bwd_kernel(
+    u_ref, dt_ref, b_ref, c_ref, a_ref, dsk_ref, dy_ref, hin_ref,
+    du_ref, ddt_ref, db_ref, dc_ref, da_ref, dd_ref,
+    mu_ref,
+    *, lc: int,
+):
+    """One reverse-ordered chunk of the scan adjoint (see module docstring).
+
+    mu carries a_first*lam_first of the chunk just processed (the term the
+    previous-in-time chunk's last element needs); da/dd accumulate across
+    the (b, jd) block's chunk visits in their resident output blocks.
+    """
+    l = pl.program_id(2)  # 0 == LAST time chunk (index maps reverse l)
+
+    @pl.when(l == 0)
+    def _init():
+        mu_ref[...] = jnp.zeros_like(mu_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+        dd_ref[...] = jnp.zeros_like(dd_ref)
+
+    u = u_ref[0].astype(_F32)        # [Lc, Db]
+    dt = dt_ref[0].astype(_F32)
+    bsel = b_ref[0].astype(_F32)     # [Lc, N]
+    csel = c_ref[0].astype(_F32)
+    dy = dy_ref[0].astype(_F32)      # [Lc, Db]
+    a_t = a_ref[...]                 # [N, Db] (A transposed)
+    hin = hin_ref[0, 0, 0]           # [N, Db] chunk entry state
+
+    a, b = _discretize(u, dt, bsel, a_t)                  # [Lc, N, Db]
+    a_scan, b_scan = _hs_fwd(a, b, lc)
+    h = b_scan + a_scan * hin[None, :, :]
+    h_prev = jnp.concatenate([hin[None], h[: lc - 1]], axis=0)
+
+    # lam_t = C_t (x) dy_t + a_{t+1} lam_{t+1}; the cross-chunk tail enters
+    # as mu added to the last element's source term.
+    c_src = csel[:, :, None] * dy[:, None, :]             # [Lc, N, Db]
+    c_src = jnp.concatenate(
+        [c_src[: lc - 1], (c_src[lc - 1] + mu_ref[...])[None]], axis=0
+    )
+    alpha = jnp.concatenate(
+        [a[1:], jnp.ones((1,) + a.shape[1:], _F32)], axis=0
+    )
+    lam = _hs_rev(alpha, c_src, lc)
+    mu_ref[...] = a[0] * lam[0]
+
+    # b_t-term: d(dt*u) and dB.
+    ddtu = jnp.sum(lam * bsel[:, :, None], axis=1)        # [Lc, Db]
+    db_ref[0, 0] = jnp.sum(lam * (dt * u)[:, None, :], axis=2).astype(
+        db_ref.dtype
+    )
+    # a_t-term: da = lam*h_prev, through exp: *a, then split dt/A factors.
+    g = lam * h_prev * a                                  # [Lc, N, Db]
+    ddt_a = jnp.sum(g * a_t[None], axis=1)                # [Lc, Db]
+    da_ref[0] = da_ref[0] + jnp.sum(g * dt[:, None, :], axis=0)
+    # y-terms.
+    dc_ref[0, 0] = jnp.sum(h * dy[:, None, :], axis=2).astype(dc_ref.dtype)
+    dd_ref[0] = dd_ref[0] + jnp.sum(dy * u, axis=0)[None]
+    du_ref[0] = (ddtu * dt + dy * dsk_ref[0].astype(_F32)).astype(du_ref.dtype)
+    ddt_ref[0] = (ddtu * u + ddt_a).astype(ddt_ref.dtype)
+
+
+def _pad_args(u, delta, B, C, A, D, chunk, block_d):
+    bsz, L, d = u.shape
+    n = A.shape[1]
+    lp = -(-L // chunk) * chunk
+    dp = -(-d // block_d) * block_d
+
+    def padx(t, rows, cols):
+        return jnp.pad(t, ((0, 0), (0, rows - t.shape[1]), (0, cols - t.shape[2])))
+
+    up = padx(u, lp, dp)
+    dtp = padx(delta, lp, dp)
+    bp = padx(B, lp, n)
+    cp = padx(C, lp, n)
+    at = jnp.pad(A.T.astype(_F32), ((0, 0), (0, dp - d)))
+    dsk = jnp.pad(
+        (D if D is not None else jnp.zeros((d,), _F32)).astype(_F32), (0, dp - d)
+    ).reshape(1, dp)
+    return up, dtp, bp, cp, at, dsk, lp, dp
+
+
+def _fwd_with_states(u, delta, A, B, C, D, chunk, block_d, interpret):
+    bsz, L, d = u.shape
+    n = A.shape[1]
+    up, dtp, bp, cp, at, dsk, lp, dp = _pad_args(u, delta, B, C, A, D, chunk, block_d)
+    nl, nd = lp // chunk, dp // block_d
+    y, states = pl.pallas_call(
+        functools.partial(_ssm_fwd_states_kernel, lc=chunk),
+        grid=(bsz, nd, nl),
+        in_specs=[
+            pl.BlockSpec((1, chunk, block_d), lambda b, jd, l: (b, l, jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, block_d), lambda b, jd, l: (b, l, jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, n), lambda b, jd, l: (b, l, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, n), lambda b, jd, l: (b, l, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, block_d), lambda b, jd, l: (0, jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_d), lambda b, jd, l: (0, jd), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunk, block_d), lambda b, jd, l: (b, l, jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n, block_d), lambda b, jd, l: (b, jd, l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, dp), u.dtype),
+            jax.ShapeDtypeStruct((bsz, nd, nl, n, block_d), _F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, block_d), _F32)],
+        interpret=interpret,
+    )(up, dtp, bp, cp, at, dsk)
+    return y[:, :L, :d], states
+
+
+def _bwd_pallas(res, dy, chunk, block_d, interpret):
+    u, delta, A, B, C, D, states = res
+    bsz, L, d = u.shape
+    n = A.shape[1]
+    up, dtp, bp, cp, at, dsk, lp, dp = _pad_args(u, delta, B, C, A, D, chunk, block_d)
+    dyp = jnp.pad(
+        dy.astype(_F32), ((0, 0), (0, lp - L), (0, dp - d))
+    )
+    nl, nd = lp // chunk, dp // block_d
+
+    rev = lambda l: nl - 1 - l
+    du, ddt, db, dc, da, dd = pl.pallas_call(
+        functools.partial(_ssm_bwd_kernel, lc=chunk),
+        grid=(bsz, nd, nl),
+        in_specs=[
+            pl.BlockSpec((1, chunk, block_d), lambda b, jd, l: (b, rev(l), jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, block_d), lambda b, jd, l: (b, rev(l), jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, n), lambda b, jd, l: (b, rev(l), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, n), lambda b, jd, l: (b, rev(l), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, block_d), lambda b, jd, l: (0, jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_d), lambda b, jd, l: (0, jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, block_d), lambda b, jd, l: (b, rev(l), jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n, block_d), lambda b, jd, l: (b, jd, rev(l), 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunk, block_d), lambda b, jd, l: (b, rev(l), jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, block_d), lambda b, jd, l: (b, rev(l), jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, n), lambda b, jd, l: (b, jd, rev(l), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, n), lambda b, jd, l: (b, jd, rev(l), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_d), lambda b, jd, l: (b, 0, jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_d), lambda b, jd, l: (b, 0, jd), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, dp), _F32),
+            jax.ShapeDtypeStruct((bsz, lp, dp), _F32),
+            jax.ShapeDtypeStruct((bsz, nd, lp, n), _F32),
+            jax.ShapeDtypeStruct((bsz, nd, lp, n), _F32),
+            jax.ShapeDtypeStruct((bsz, n, dp), _F32),
+            jax.ShapeDtypeStruct((bsz, 1, dp), _F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, block_d), _F32)],
+        interpret=interpret,
+    )(up, dtp, bp, cp, at, dsk, dyp, states)
+
+    du_o = du[:, :L, :d].astype(u.dtype)
+    ddt_o = ddt[:, :L, :d].astype(delta.dtype)
+    db_o = jnp.sum(db, axis=1)[:, :L].astype(B.dtype)
+    dc_o = jnp.sum(dc, axis=1)[:, :L].astype(C.dtype)
+    da_o = jnp.sum(da, axis=0).T[:d].astype(A.dtype)  # [D, N]
+    dd_o = None if D is None else jnp.sum(dd, axis=(0, 1))[:d].astype(D.dtype)
+    return du_o, ddt_o, da_o, db_o, dc_o, dd_o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def selective_scan_pallas_train(
+    u, delta, A, B, C, D, chunk=64, block_d=128, interpret=None
+):
+    """``selective_scan_pallas`` with a Pallas backward (training path).
+
+    The bwd default chunk is 64 (vs 128 fwd): the backward holds ~2x the
+    [Lc, N, D_blk] fp32 working set (h, h_prev, lam, a) in VMEM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return selective_scan_pallas(
+        u, delta, A, B, C, D, chunk=chunk, block_d=block_d, interpret=interpret
+    )
+
+
+def _train_fwd(u, delta, A, B, C, D, chunk, block_d, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    y, states = _fwd_with_states(u, delta, A, B, C, D, chunk, block_d, interpret)
+    return y, (u, delta, A, B, C, D, states)
+
+
+def _train_bwd(chunk, block_d, interpret, res, dy):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _bwd_pallas(res, dy, chunk, block_d, interpret)
+
+
+selective_scan_pallas_train.defvjp(_train_fwd, _train_bwd)

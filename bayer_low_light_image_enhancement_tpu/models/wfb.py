@@ -89,7 +89,7 @@ class WM(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     ref_token_layout: bool = False
-    ssm_pallas: bool = False  # fused Pallas scan (kernels/ssm_scan.py); inference-only
+    ssm_pallas: bool = False  # fused Pallas scan (kernels/ssm_scan.py); custom-VJP, trains too
     spatial_axis: Optional[Any] = None
 
     @nn.compact

@@ -272,11 +272,15 @@ class MambaBlock(nn.Module):
         Dskip = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
 
         if self.use_pallas and self.axis_name is None:
+            # Custom-VJP wrapper: the primal IS the fused kernel, and under
+            # jax.grad the backward is a Pallas reverse scan
+            # (kernels/ssm_scan.py training path) — so the flag is safe in
+            # both inference and training.
             from bayer_low_light_image_enhancement_tpu.kernels.ssm_scan import (
-                selective_scan_pallas,
+                selective_scan_pallas_train,
             )
 
-            y = selective_scan_pallas(xc, dt, A, B, C, Dskip)
+            y = selective_scan_pallas_train(xc, dt, A, B, C, Dskip)
         else:
             # Sharded sequences use the XLA path: the Pallas kernel is
             # per-device and takes no incoming state.
