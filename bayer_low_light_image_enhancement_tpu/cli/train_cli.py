@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=2,
         help="batches staged on device ahead of the step (0 = synchronous)",
     )
+    p.add_argument(
+        "--no_compact_h2d",
+        action="store_true",
+        help="ship fp32 batches instead of the 16-bit compact transfer "
+        "(uint16 mosaic codes + ratio + uint16 GT decoded on device; "
+        "native loader only)",
+    )
     return p
 
 
@@ -110,11 +117,12 @@ def build_train_loader(args, train_ds):
             sampler_for_dataset,
         )
 
-        sampler = sampler_for_dataset(train_ds, seed=args.seed)
+        compact = not getattr(args, "no_compact_h2d", False)
+        sampler = sampler_for_dataset(train_ds, seed=args.seed, compact=compact)
         if sampler is not None:
             return (
                 NativeLoader(train_ds, sampler, args.batch_size, seed=args.seed),
-                "native",
+                "native (compact 16-bit H2D)" if compact else "native",
             )
         if args.loader == "native":
             raise SystemExit(
@@ -254,16 +262,16 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         epoch_loss, n_steps = 0.0, 0
-        batches = ((b[0], b[1]) for b in train_loader)
+        batches = (tuple(b) for b in train_loader)
         if args.device_prefetch > 0:
             # Stage the H2D copy of batch N+1 while the chips run batch N.
             batches = prefetch_to_device(
                 batches, sharding=trainer.batch_sharding, size=args.device_prefetch
             )
-        for inp, gt in batches:
+        for batch in batches:
             if args.device_prefetch <= 0:
-                inp, gt = trainer.shard_batch((inp, gt))
-            state, loss = trainer.train_step(state, (inp, gt))
+                batch = trainer.shard_batch(batch)
+            state, loss = trainer.train_step(state, batch)
             epoch_loss += float(loss)
             n_steps += 1
 

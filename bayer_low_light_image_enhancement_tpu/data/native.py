@@ -56,6 +56,7 @@ def _load():
                 return None
         lib = ctypes.CDLL(_LIB_PATH)
         lib.bp_assemble_batch.restype = ctypes.c_int
+        lib.bp_assemble_batch_u16gt.restype = ctypes.c_int
         lib.bp_gt_to_float.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -133,6 +134,67 @@ def assemble_batch(
     return out_raw, out_gt
 
 
+def assemble_batch_compact(
+    mosaics: Sequence[np.ndarray],
+    gts16: Sequence[np.ndarray],
+    crops: np.ndarray,
+    flips: np.ndarray,
+    patch: int,
+    num_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Compact-transfer assembly: raw mosaic codes AND GT stay uint16, so the
+    H2D copy is 16-bit end-to-end (5x smaller than the fp32 batch).
+    Normalisation and the /65535 GT decode run on device inside the jitted
+    train step (train/trainer.py decode path) — numerically the same fp32
+    expressions the float path evaluates on host.
+
+    mosaics[i]: uint16 [h, w]; gts16[i]: uint16 [h, w, 3].
+    Returns (raw_u16 [B, p, p, 1], gt_u16 [B, p, p, 3]).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native pipeline unavailable: {_build_error}")
+    batch = len(mosaics)
+    assert len(gts16) == batch == crops.shape[0] == flips.shape[0]
+
+    mos_ptrs = (ctypes.POINTER(ctypes.c_uint16) * batch)()
+    gt_ptrs = (ctypes.POINTER(ctypes.c_uint16) * batch)()
+    hs = (ctypes.c_int * batch)()
+    ws = (ctypes.c_int * batch)()
+    for i, (m, g) in enumerate(zip(mosaics, gts16)):
+        assert m.dtype == np.uint16 and m.flags.c_contiguous
+        assert g.dtype == np.uint16 and g.flags.c_contiguous
+        assert m.shape[:2] == g.shape[:2] and g.shape[2] == 3
+        mos_ptrs[i] = m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        gt_ptrs[i] = g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        hs[i] = m.shape[0]
+        ws[i] = m.shape[1]
+
+    ci = np.ascontiguousarray(crops[:, 0], np.int32)
+    cj = np.ascontiguousarray(crops[:, 1], np.int32)
+    flr = np.ascontiguousarray(flips[:, 0], np.uint8)
+    fud = np.ascontiguousarray(flips[:, 1], np.uint8)
+    rat = np.zeros((batch,), np.float32)  # unused in the compact path
+
+    out_raw = np.empty((batch, patch, patch, 1), np.uint16)
+    out_gt = np.empty((batch, patch, patch, 3), np.uint16)
+    rc = lib.bp_assemble_batch_u16gt(
+        mos_ptrs, gt_ptrs, hs, ws,
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cj.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        flr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        fud.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(batch), ctypes.c_int(patch),
+        out_raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out_gt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int(num_threads),
+    )
+    if rc != 0:
+        raise RuntimeError(f"bp_assemble_batch_u16gt failed with code {rc}")
+    return out_raw, out_gt
+
+
 def gt16_to_float(gt16: np.ndarray, num_threads: int = 8) -> np.ndarray:
     """uint16 GT -> float32 [0,1] (parallel /65535)."""
     lib = _load()
@@ -150,7 +212,8 @@ def gt16_to_float(gt16: np.ndarray, num_threads: int = 8) -> np.ndarray:
 
 
 def sampler_for_dataset(
-    dataset, seed: int = 0, device_normalize: bool = False, num_threads: int = 8
+    dataset, seed: int = 0, device_normalize: bool = False, num_threads: int = 8,
+    compact: bool = False,
 ) -> Optional["NativeBatchSampler"]:
     """Adapt an in-RAM training dataset to a :class:`NativeBatchSampler`.
 
@@ -176,12 +239,26 @@ def sampler_for_dataset(
         )
 
         mosaics = dataset._shorts
-        gts = [gt16_to_float(g, num_threads) for g in dataset._longs]
+        if compact:
+            # GTs stay the uint16 the decoder produced: /65535 happens on
+            # device, so the upfront fp32 conversion (3x RAM) is skipped too.
+            gts = [np.ascontiguousarray(g) for g in dataset._longs]
+        else:
+            gts = [gt16_to_float(g, num_threads) for g in dataset._longs]
         ratios = [sid_ratio_from_filename(p) for p in dataset.long_paths]
     elif getattr(dataset, "mosaics", None) is not None and getattr(dataset, "gts", None) is not None:
         mosaics, gts = dataset.mosaics, dataset.gts
         if not (mosaics and mosaics[0].dtype == np.uint16 and gts[0].dtype == np.float32):
             return None
+        if compact:
+            # Synthetic GTs are generated fp32; quantise once to u16 (the
+            # SID GTs are u16 at the source, where this is exact).
+            gts = [
+                np.ascontiguousarray(
+                    np.round(np.clip(g, 0.0, 1.0) * 65535.0).astype(np.uint16)
+                )
+                for g in gts
+            ]
         ratios = [float(getattr(dataset, "ratio", 1.0))] * len(mosaics)
     else:
         return None
@@ -190,6 +267,7 @@ def sampler_for_dataset(
     return NativeBatchSampler(
         mosaics, gts, ratios, patch, seed=seed,
         device_normalize=device_normalize, num_threads=num_threads,
+        compact=compact,
     )
 
 
@@ -270,7 +348,8 @@ class NativeBatchSampler:
     """
 
     def __init__(self, mosaics, gts, ratios, patch_size: int, seed: int = 0,
-                 device_normalize: bool = False, num_threads: int = 8):
+                 device_normalize: bool = False, num_threads: int = 8,
+                 compact: bool = False):
         self.mosaics = mosaics
         self.gts = gts
         self.ratios = np.asarray(ratios, np.float32)
@@ -278,6 +357,7 @@ class NativeBatchSampler:
         self.seed = seed
         self.device_normalize = device_normalize
         self.num_threads = num_threads
+        self.compact = compact
 
     def sample_batch(self, indices: Sequence[int], epoch: int):
         rng = np.random.default_rng((self.seed, epoch, tuple(int(i) for i in indices)))
@@ -290,6 +370,15 @@ class NativeBatchSampler:
             crops[s, 1] = int(rng.integers(0, (w - self.patch - 2) // 2 + 1)) * 2
             flips[s, 0] = rng.random() < 0.5
             flips[s, 1] = rng.random() < 0.2
+        if self.compact:
+            raw16, gt16 = assemble_batch_compact(
+                [self.mosaics[i] for i in indices],
+                [self.gts[i] for i in indices],
+                crops, flips, self.patch, self.num_threads,
+            )
+            # 3-tuple batch: the per-sample ratio rides along so the device
+            # decode can apply it (train/trainer.py compact-batch path).
+            return raw16, self.ratios[list(indices)], gt16
         return assemble_batch(
             [self.mosaics[i] for i in indices],
             [self.gts[i] for i in indices],

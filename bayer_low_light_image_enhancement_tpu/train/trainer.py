@@ -79,6 +79,35 @@ class TrainConfig:
     fused_blocks: bool = False
 
 
+def decode_batch(batch):
+    """Accept either a host-decoded ``(inp_f32, gt_f32)`` pair or the
+    compact-transfer 3-tuple ``(raw_u16 [B,p,p,1], ratio_f32 [B],
+    gt_u16 [B,p,p,3])`` (data/native.py ``compact`` mode) and return
+    ``(inp, gt)`` in fp32.
+
+    Compact batches ship 16-bit end-to-end — ~5x less H2D than fp32, the
+    dominant train-step cost on host-bound transports — and are decoded
+    here INSIDE the jitted step with the exact fp32 expressions the host
+    path evaluates (csrc/bayer_pipeline.cpp assemble_one: clip to
+    [512, 16383], affine normalise, ratio multiply; GT /65535 as in the
+    reference ``load_dataset.py:90``). XLA fuses both decodes into the
+    embedding conv / loss producers, so device time is unchanged.
+    """
+    if len(batch) == 2:
+        return batch
+    from bayer_low_light_image_enhancement_tpu.kernels.bayer_pack import (
+        BLACK_LEVEL,
+        WHITE_LEVEL,
+    )
+
+    raw16, ratio, gt16 = batch
+    x = jnp.clip(raw16.astype(jnp.float32), BLACK_LEVEL, WHITE_LEVEL)
+    scale = 1.0 / (WHITE_LEVEL - BLACK_LEVEL + 1e-6)
+    inp = (x - BLACK_LEVEL) * scale * ratio.astype(jnp.float32)[:, None, None, None]
+    gt = gt16.astype(jnp.float32) * (1.0 / 65535.0)
+    return inp, gt
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = warmup_cosine_schedule(
         cfg.base_lr,
@@ -149,7 +178,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_train_step(self):
         def step_fn(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
-            inp, gt = batch
+            inp, gt = decode_batch(batch)
             has_bn = bool(state.batch_stats)
 
             def loss_fn(params):
@@ -202,7 +231,7 @@ class Trainer:
             )
             kwargs["in_shardings"] = (
                 state_sharding,
-                (self._batch_sharding, self._batch_sharding),
+                self._batch_sharding,  # pytree prefix: covers any batch arity
             )
             kwargs["out_shardings"] = (state_sharding, self._replicated)
         return jax.jit(step_fn, **kwargs)
@@ -219,7 +248,7 @@ class Trainer:
         if self.mesh is not None and self._state_sharding is None:
             kwargs["in_shardings"] = (
                 self._replicated,
-                (self._batch_sharding, self._batch_sharding),
+                self._batch_sharding,  # pytree prefix: covers any batch arity
             )
         # In TP mode the variables arrive committed with their Megatron
         # shardings from init(); jit honours committed layouts directly.

@@ -27,21 +27,23 @@ constexpr float kWhite = 16383.0f;
 
 struct SampleSpec {
   const uint16_t* mosaic;  // [h, w]
-  const float* gt;         // [h, w, 3]
+  const float* gt;         // [h, w, 3] (float path), or nullptr
+  const uint16_t* gt16;    // [h, w, 3] (compact path), or nullptr
   int h, w;
   int ci, cj;              // crop offsets (even)
   bool flip_lr, flip_ud;
   float ratio;
 };
 
-inline void assemble_one(const SampleSpec& s, int patch, bool normalize,
-                         float* out_raw, uint16_t* out_raw_u16, float* out_gt) {
+inline void assemble_one(const SampleSpec& s, int patch, float* out_raw,
+                         uint16_t* out_raw_u16, float* out_gt,
+                         uint16_t* out_gt16) {
   const float scale = 1.0f / (kWhite - kBlack + 1e-6f);
   for (int r = 0; r < patch; ++r) {
     // Source row under flips: flips are applied to the cropped window.
     int sr = s.flip_ud ? (patch - 1 - r) : r;
-    const uint16_t* mrow = s.mosaic + (size_t)(s.ci + sr) * s.w + s.cj;
-    const float* grow = s.gt + ((size_t)(s.ci + sr) * s.w + s.cj) * 3;
+    const size_t row_off = (size_t)(s.ci + sr) * s.w + s.cj;
+    const uint16_t* mrow = s.mosaic + row_off;
     for (int c = 0; c < patch; ++c) {
       int sc = s.flip_lr ? (patch - 1 - c) : c;
       uint16_t code = mrow[sc];
@@ -53,14 +55,22 @@ inline void assemble_one(const SampleSpec& s, int patch, bool normalize,
       if (out_raw_u16 != nullptr) {
         out_raw_u16[(size_t)r * patch + c] = code;
       }
-      const float* g = grow + (size_t)sc * 3;
-      float* o = out_gt + ((size_t)r * patch + c) * 3;
-      o[0] = g[0];
-      o[1] = g[1];
-      o[2] = g[2];
+      if (out_gt != nullptr) {
+        const float* g = s.gt + (row_off + (size_t)sc) * 3;
+        float* o = out_gt + ((size_t)r * patch + c) * 3;
+        o[0] = g[0];
+        o[1] = g[1];
+        o[2] = g[2];
+      }
+      if (out_gt16 != nullptr) {
+        const uint16_t* g = s.gt16 + (row_off + (size_t)sc) * 3;
+        uint16_t* o = out_gt16 + ((size_t)r * patch + c) * 3;
+        o[0] = g[0];
+        o[1] = g[1];
+        o[2] = g[2];
+      }
     }
   }
-  (void)normalize;
 }
 
 }  // namespace
@@ -86,8 +96,8 @@ int bp_assemble_batch(const uint16_t** mosaics, const float** gts,
   if (batch <= 0 || patch <= 0) return 1;
   std::vector<SampleSpec> specs(batch);
   for (int i = 0; i < batch; ++i) {
-    specs[i] = SampleSpec{mosaics[i],      gts[i],           hs[i], ws[i],
-                          ci[i],           cj[i],            flip_lr[i] != 0,
+    specs[i] = SampleSpec{mosaics[i],      gts[i],  nullptr, hs[i], ws[i],
+                          ci[i],           cj[i],   flip_lr[i] != 0,
                           flip_ud[i] != 0, ratios[i]};
     if (ci[i] < 0 || cj[i] < 0 || ci[i] + patch > hs[i] || cj[i] + patch > ws[i])
       return 2;
@@ -100,13 +110,56 @@ int bp_assemble_batch(const uint16_t** mosaics, const float** gts,
       int i = next.fetch_add(1);
       if (i >= batch) return;
       const size_t rstride = (size_t)patch * patch;
-      assemble_one(specs[i], patch, /*normalize=*/out_raw != nullptr,
+      assemble_one(specs[i], patch,
                    out_raw ? out_raw + (size_t)i * rstride : nullptr,
                    out_raw_u16 ? out_raw_u16 + (size_t)i * rstride : nullptr,
-                   out_gt + (size_t)i * rstride * 3);
+                   out_gt + (size_t)i * rstride * 3, nullptr);
     }
   };
 
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  return 0;
+}
+
+// Compact-transfer variant: GT stays uint16 end-to-end and the raw mosaic
+// ships as codes, so the H2D copy is 16-bit everywhere — normalisation
+// ((clip(x,512,16383)-512)/range*ratio) and the /65535 GT decode move into
+// the jitted train step on device. 5x less transfer than the fp32 batch
+// (the dominant train-step cost on a tunneled/host-bound transport).
+int bp_assemble_batch_u16gt(const uint16_t** mosaics, const uint16_t** gts16,
+                            const int* hs, const int* ws, const int* ci,
+                            const int* cj, const uint8_t* flip_lr,
+                            const uint8_t* flip_ud, const float* ratios,
+                            int batch, int patch, uint16_t* out_raw_u16,
+                            uint16_t* out_gt16, int num_threads) {
+  if (batch <= 0 || patch <= 0) return 1;
+  std::vector<SampleSpec> specs(batch);
+  for (int i = 0; i < batch; ++i) {
+    specs[i] = SampleSpec{mosaics[i],      nullptr, gts16[i], hs[i], ws[i],
+                          ci[i],           cj[i],   flip_lr[i] != 0,
+                          flip_ud[i] != 0, ratios[i]};
+    if (ci[i] < 0 || cj[i] < 0 || ci[i] + patch > hs[i] || cj[i] + patch > ws[i])
+      return 2;
+  }
+  int nt = std::max(1, std::min(num_threads, batch));
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= batch) return;
+      const size_t rstride = (size_t)patch * patch;
+      assemble_one(specs[i], patch, nullptr,
+                   out_raw_u16 + (size_t)i * rstride, nullptr,
+                   out_gt16 + (size_t)i * rstride * 3);
+    }
+  };
   if (nt == 1) {
     worker();
   } else {
