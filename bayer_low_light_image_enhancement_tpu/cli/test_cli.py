@@ -224,10 +224,15 @@ def main(argv=None):
         and jax.default_backend() == "tpu"
     )
     if compact:
-        from bayer_low_light_image_enhancement_tpu.ops.bayer import normalize_sid
+        from bayer_low_light_image_enhancement_tpu.ops.bayer import (
+            normalize_mcr,
+            normalize_sid,
+        )
 
         val_ds.device_normalize = True
-        decode_jit = jax.jit(normalize_sid)
+        decode_jit = jax.jit(
+            normalize_mcr if args.dataset == "MCR" else normalize_sid
+        )
 
     if args.model == "rawformer_wfb":
         # WFB needs H/W divisible by 32 even unsharded: space_to_depth +

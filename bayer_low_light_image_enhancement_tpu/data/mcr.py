@@ -40,12 +40,14 @@ class MCRDataset:
         patch_size: int = 512,
         training: bool = True,
         preload: bool = True,
+        device_normalize: bool = False,
     ):
         assert len(raw_paths) == len(rgb_paths)
         self.raw_paths = list(raw_paths)
         self.rgb_paths = list(rgb_paths)
         self.patch_size = patch_size
         self.training = training
+        self.device_normalize = device_normalize
         self._raws: Optional[List[np.ndarray]] = None
         self._rgbs: Optional[List[np.ndarray]] = None
         if preload:
@@ -63,8 +65,16 @@ class MCRDataset:
     def sample(self, idx: int, rng: np.random.Generator):
         raw, rgb = self._get(idx)
         amp = mcr_amplification(self.raw_paths[idx])
-        inp = (raw.astype(np.float32) / 255.0 * amp).astype(np.float32)
         gt = rgb.astype(np.float32) / 255.0
+        if self.device_normalize:
+            # Compact transfer: ship the PNG codes; ``ops.bayer.normalize_mcr``
+            # (raw/255*amp, load_dataset.py:151) runs on device.
+            inp8 = raw
+            if self.training:
+                inp8, gt = augment.random_even_crop(rng, inp8, gt, self.patch_size)
+                inp8, gt = augment.random_flips(rng, inp8, gt)
+            return inp8[..., None].astype(np.uint8), gt, np.float32(amp)
+        inp = (raw.astype(np.float32) / 255.0 * amp).astype(np.float32)
         if self.training:
             inp, gt = augment.random_even_crop(rng, inp, gt, self.patch_size)
             inp, gt = augment.random_flips(rng, inp, gt)

@@ -153,3 +153,33 @@ class TestMetricsLogger:
         MetricsLogger().write_metrics_csv(str(path), [30.1234, 31.5], [0.91, 0.92])
         lines = path.read_text().strip().split("\n")
         assert lines[0] == "30.1234,0.9100"
+
+
+def test_mcr_device_normalize_parity(tmp_path):
+    """Compact MCR sampling (uint8 codes + amp) decodes to the host fp32
+    path exactly via ops.bayer.normalize_mcr."""
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    from bayer_low_light_image_enhancement_tpu.data.mcr import MCRDataset
+    from bayer_low_light_image_enhancement_tpu.ops.bayer import normalize_mcr
+
+    rng_np = np.random.default_rng(3)
+    raw = rng_np.integers(0, 256, (32, 32), dtype=np.uint8)
+    rgb = rng_np.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    # Filename fields drive the exposure parse: img_num 007, expo 0x00ff.
+    name = "C00007_48mp_0x8_0x00ff.png"
+    (tmp_path / "raw").mkdir()
+    (tmp_path / "rgb").mkdir()
+    rp, gp = str(tmp_path / "raw" / name), str(tmp_path / "rgb" / name)
+    imageio.imwrite(rp, raw)
+    imageio.imwrite(gp, rgb)
+
+    host = MCRDataset([rp], [gp], training=False)
+    comp = MCRDataset([rp], [gp], training=False, device_normalize=True)
+    inp_f, gt_f, amp_f = host.sample(0, np.random.default_rng(0))
+    inp8, gt_c, amp_c = comp.sample(0, np.random.default_rng(0))
+    assert inp8.dtype == np.uint8 and amp_f == amp_c
+    dec = np.asarray(normalize_mcr(jnp.asarray(inp8), jnp.float32(amp_c)))
+    np.testing.assert_allclose(dec, inp_f, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(gt_f, gt_c)
