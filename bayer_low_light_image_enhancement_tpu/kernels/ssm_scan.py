@@ -119,24 +119,10 @@ def selective_scan_pallas(
     bsz, L, d = u.shape
     n = A.shape[1]
 
-    lp = -(-L // chunk) * chunk
-    dp = -(-d // block_d) * block_d
-    nl, nd = lp // chunk, dp // block_d
-
     # Pad L with dt=0 steps (a=1, b=0: carry passes through) and D with dead
     # lanes (A=0, u=0 -> y=0), both sliced off on return.
-    def padx(t, rows, cols):
-        return jnp.pad(t, ((0, 0), (0, rows - t.shape[1]), (0, cols - t.shape[2])))
-
-    up = padx(u, lp, dp)
-    dtp = padx(delta, lp, dp)
-    bp = padx(B, lp, n)
-    cp = padx(C, lp, n)
-    at = jnp.pad(A.T.astype(_F32), ((0, 0), (0, dp - d)))  # [N, Dp]
-    dsk = jnp.pad(
-        (D if D is not None else jnp.zeros((d,), _F32)).astype(_F32),
-        (0, dp - d),
-    ).reshape(1, dp)
+    up, dtp, bp, cp, at, dsk, lp, dp = _pad_args(u, delta, B, C, A, D, chunk, block_d)
+    nl, nd = lp // chunk, dp // block_d
 
     y = pl.pallas_call(
         functools.partial(_ssm_kernel, lc=chunk),
