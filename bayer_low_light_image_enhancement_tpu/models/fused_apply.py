@@ -10,7 +10,9 @@ param subtree, and every model in the zoo that composes TransformerBlock
 (canonical RawFormer, the FLCA variants' transformer branches, ...) gets the
 kernel for free.
 
-Training keeps the plain XLA path (the kernel defines no VJP).
+Training routes through the custom-VJP twins instead: the fused
+TransformerBlock backward (kernels/fused_block_bwd.py) and the plain-XLA
+W-packed rewrites (ops/wpack.py), whose backwards autodiff derives.
 """
 
 from __future__ import annotations
@@ -79,9 +81,14 @@ def _should_pack_conv(module: nn.Module, args) -> bool:
         and module.stride == 1
         and module.dilation == 1
         and module.groups == 1
+        and module.kernel_size in (1, 3)  # variants reuse these names
         and bool(args)
         and wpack_ops.conv_fusable(args[0], 4)
-        and args[0].shape[-1] <= 64
+        # Measured win regimes only: the f x FLOP waste turns a 3x3 at
+        # C>=64 MXU-bound (0.66x), while the pointwise reduce stays
+        # traffic-bound up to C=64. Note ConvTransformer's INNER conv_out
+        # shares the name — this gate keeps the C=64 stages on XLA.
+        and args[0].shape[-1] <= (32 if module.kernel_size == 3 else 64)
     )
 
 
@@ -146,9 +153,10 @@ def fused_apply(
     truth (and tighter than XLA's own bf16 autodiff on the cancelling bias
     sums). Blocks outside the trainable geometry (see fused_block_bwd
     docstring) keep the plain XLA path.
-    ``packed_tail``: also rewrite the C=32 ConvTransformer tails in the
-    W-phase-packed layout (ops/wpack.py). Defaults to the
-    ``BAYER_TPU_PACKED_TAIL`` env var (on). Inference-only.
+    ``packed_tail``: also rewrite the C=32 ConvTransformer tails and the
+    named lane-starved convs/downsample in the W-phase-packed layout
+    (ops/wpack.py), in both inference and training. Defaults to the
+    ``BAYER_TPU_PACKED_TAIL`` env var (on).
     Falls back to the plain path automatically for spatially-sharded blocks.
     """
     kw = {} if tile_rows is None else {"tile_rows": tile_rows}
