@@ -57,37 +57,41 @@ def resize_bilinear(
     """Bilinear resize with half-pixel centers (= torch align_corners=False,
     no antialias). x: [B, H, W, C].
 
-    With ``spatial_axis`` (inside shard_map, H sharded across chips), ``h``/
-    ``x`` are per-shard sizes and the result is exactly the local slice of the
-    global resize: upsampled boundary rows sample rows owned by the
+    With ``spatial_axis`` (inside shard_map; a single H mesh-axis name or an
+    ``(h_axis, w_axis)`` tuple for 2D spatial meshes), ``h``/``w``/``x`` are
+    per-shard sizes and the result is exactly the local slice of the global
+    resize: upsampled boundary rows/cols sample pixels owned by the
     neighbouring shard, and edge clamping is a *global*-edge property, so the
-    full H is all-gathered (guidance tensors here are 1-2 channels — cheap)
-    and each shard applies its own row-block of the global resize matrix.
+    sharded axis is all-gathered (guidance tensors here are 1-2 channels —
+    cheap) and each shard applies its own row/col block of the global resize
+    matrix.
     """
+    from bayer_low_light_image_enhancement_tpu.ops.conv import spatial_axes
+
     b, hi, wi, c = x.shape
-    if isinstance(spatial_axis, (tuple, list)):
-        if len(spatial_axis) > 1 and spatial_axis[1] is not None:
-            raise NotImplementedError(
-                "W-sharded guided resize is not supported; shard guided "
-                "models along H only"
-            )
-        spatial_axis = spatial_axis[0]
-    if spatial_axis is None:
-        if (hi, wi) == (h, w):
-            return x
-        wh = jnp.asarray(_bilinear_matrix(hi, h))
-        y = jnp.einsum("oh,bhwc->bowc", wh.astype(x.dtype), x)
-    else:
-        n = jax.lax.psum(1, spatial_axis)
-        if (hi, wi) == (h, w) and n == 1:
-            return x
-        xg = jax.lax.all_gather(x, spatial_axis, axis=1, tiled=True)
-        whg = jnp.asarray(_bilinear_matrix(hi * n, h * n))
-        s = jax.lax.axis_index(spatial_axis)
-        wh = jax.lax.dynamic_slice(whg, (s * h, 0), (h, hi * n))
-        y = jnp.einsum("oh,bhwc->bowc", wh.astype(x.dtype), xg)
-    ww = jnp.asarray(_bilinear_matrix(wi, w))
-    return jnp.einsum("pw,bowc->bopc", ww.astype(x.dtype), y)
+    h_ax, w_ax = spatial_axes(spatial_axis)
+
+    def axis_matrix(in_local: int, out_local: int, ax: Optional[str]):
+        """Per-shard [out_local, in_global] block of the global resize."""
+        if ax is None:
+            return jnp.asarray(_bilinear_matrix(in_local, out_local)), False
+        n = jax.lax.psum(1, ax)
+        mg = jnp.asarray(_bilinear_matrix(in_local * n, out_local * n))
+        s = jax.lax.axis_index(ax)
+        return jax.lax.dynamic_slice(
+            mg, (s * out_local, 0), (out_local, in_local * n)
+        ), True
+
+    if (hi, wi) == (h, w) and h_ax is None and w_ax is None:
+        return x
+    wh, gather_h = axis_matrix(hi, h, h_ax)
+    if gather_h:
+        x = jax.lax.all_gather(x, h_ax, axis=1, tiled=True)
+    y = jnp.einsum("oh,bhwc->bowc", wh.astype(x.dtype), x)
+    ww, gather_w = axis_matrix(wi, w, w_ax)
+    if gather_w:
+        y = jax.lax.all_gather(y, w_ax, axis=2, tiled=True)
+    return jnp.einsum("pw,bowc->bopc", ww.astype(y.dtype), y)
 
 
 class SqueezeExcite(nn.Module):

@@ -39,9 +39,12 @@ def bayer_luma_chroma(
     wr, wg, wb = weights
     y = wr * r + wg * g + wb * b
     if normalize:
+        from bayer_low_light_image_enhancement_tpu.ops.conv import reduce_axis_names
+
         m = jnp.max(y, axis=(1, 2, 3), keepdims=True)
-        if spatial_axis is not None:
-            m = lax.pmax(m, spatial_axis)
+        names = reduce_axis_names(spatial_axis, (1, 2))
+        if names:
+            m = lax.pmax(m, names)
         y = y / jnp.maximum(m, eps)
     cr = r - y
     cb = b - y

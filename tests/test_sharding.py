@@ -477,3 +477,48 @@ class TestTiledRawDomainVariants:
     @pytest.mark.slow
     def test_simple_flca_unet_tiled(self):
         self._check("simple_flca_unet", base_ch=8, heads=2)
+
+
+@pytest.mark.slow
+class TestTiled2DVariants:
+    """2D (H x W) sharding == monolithic for the guided variants: the
+    sharded guidance resize gathers/blocks BOTH axes (ops/flca.py) and the
+    global reductions (pmax luma norm, pmean SE pools) cross the axis pair."""
+
+    def _check2d(self, name, atol=2e-5):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        mesh = create_mesh(data=1, spatial=2, spatial_w=2)
+        axes = (AXES.spatial, AXES.spatial_w)
+        kw = dict(dim=8, num_heads=(2, 2, 2, 2))
+        model_mono = get_model(name, **kw)
+        model_tiled = get_model(name, spatial_axis=axes, **kw)
+
+        x = jnp.asarray(RNG.uniform(0, 1, (1, 32, 64, 1)).astype(np.float32))
+        variables = model_mono.init(jax.random.PRNGKey(0), x[:, :16, :32])
+        expected = jnp.clip(model_mono.apply(variables, x), 0.0, 1.0)
+
+        fwd = make_tiled_forward(
+            model_tiled, mesh, spatial_axis=AXES.spatial,
+            spatial_w_axis=AXES.spatial_w,
+        )
+        out = fwd(variables, shard_image(x, mesh, spatial_w_axis=AXES.spatial_w))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=atol
+        )
+
+    def test_flca_rawformer_2d(self):
+        self._check2d("flca_rawformer")
+
+    def test_truecolor_2d(self):
+        self._check2d("truecolor_rawformer")
+
+    def test_multilvl_flca_2d(self):
+        self._check2d("multilvl_flca_rawformer")
+
+    def test_bayertorgb_2d(self):
+        self._check2d("bayertorgb_rawformer")
