@@ -162,6 +162,7 @@ def main(argv=None):
             "rawformer_s", "rawformer_b", "rawformer_l",
             "flca_rawformer", "multilvl_flca_rawformer",
             "truecolor_rawformer", "bayertorgb_rawformer",
+            "wavkan_rawformer",
         }
         if args.model:
             if w_ax and args.model not in _W_SHARDABLE:

@@ -522,3 +522,26 @@ class TestTiled2DVariants:
 
     def test_bayertorgb_2d(self):
         self._check2d("bayertorgb_rawformer")
+
+    def test_wavkan_2d(self):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        mesh = create_mesh(data=1, spatial=2, spatial_w=2)
+        axes = (AXES.spatial, AXES.spatial_w)
+        kw = dict(dim=8, num_heads=(2, 2, 2, 2))
+        mono = get_model("wavkan_rawformer", **kw)
+        tiled = get_model("wavkan_rawformer", spatial_axis=axes, **kw)
+        x = jnp.asarray(RNG.uniform(0, 1, (1, 32, 64, 1)).astype(np.float32))
+        v = mono.init(jax.random.PRNGKey(0), x[:, :16, :32])
+        expected = jnp.clip(mono.apply(v, x), 0.0, 1.0)
+        fwd = make_tiled_forward(
+            tiled, mesh, spatial_axis=AXES.spatial, spatial_w_axis=AXES.spatial_w
+        )
+        out = fwd(v, shard_image(x, mesh, spatial_w_axis=AXES.spatial_w))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=2e-5
+        )
