@@ -154,23 +154,17 @@ def main(argv=None):
         w_ax = AXES.spatial_w if args.spatial_w_chips > 1 else None
         sp_axis = (AXES.spatial, w_ax) if w_ax else AXES.spatial
         dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-        # Models verified numerically identical under 2D (H x W) sharding
-        # (tests/test_sharding.py::TestTiled2DVariants); WFB stays H-only —
-        # its SSM consumes raster token order, which W-sharding breaks up.
-        _W_SHARDABLE = {
-            None,  # canonical RawFormer via --model_size
-            "rawformer_s", "rawformer_b", "rawformer_l",
-            "flca_rawformer", "multilvl_flca_rawformer",
-            "truecolor_rawformer", "bayertorgb_rawformer",
-            "wavkan_rawformer",
-        }
         if args.model:
-            if w_ax and args.model not in _W_SHARDABLE:
+            if w_ax and args.model == "rawformer_wfb":
+                # Every other zoo model is verified numerically identical
+                # under 2D (H x W) sharding
+                # (tests/test_sharding.py::TestTiled2DVariants); WFB stays
+                # H-only — its SSM consumes raster token order, which
+                # W-sharding breaks up.
                 raise SystemExit(
-                    f"--spatial_w_chips: model {args.model!r} is verified for "
-                    "H-sharding only (use --spatial_chips; WFB's SSM needs "
-                    "raster-contiguous tokens, and the remaining variants "
-                    "lack a 2D equivalence test)"
+                    "--spatial_w_chips: rawformer_wfb is H-shardable only "
+                    "(its selective scan needs raster-contiguous tokens); "
+                    "use --spatial_chips"
                 )
             from bayer_low_light_image_enhancement_tpu.models import get_model
 

@@ -132,13 +132,18 @@ class TokenTransformerBlock(nn.Module):
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln1")
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln2")
         tn = ln1(t.astype(jnp.float32)).astype(self.dtype)
-        # Token attention is global over the image. Under H-sharding,
-        # queries stay local (each shard only needs its own rows' outputs);
-        # keys/values are all-gathered — attention output is per-query, so
-        # no slice-back. Bottleneck-only (1/8 res), so the kv gather is
-        # small. This is the gather-kv form of sequence-parallel attention.
-        h_ax, _ = spatial_axes(self.spatial_axis)
-        kv = jax.lax.all_gather(tn, h_ax, axis=1, tiled=True) if h_ax else tn
+        # Token attention is global over the image. Under spatial sharding,
+        # queries stay local (each shard only needs its own pixels' outputs);
+        # keys/values are all-gathered — attention is permutation-invariant
+        # in keys, so the gathered token ORDER does not matter and a 2D
+        # (H x W) mesh just gathers along both axes. Bottleneck-only (1/8
+        # res), so the kv gather is small. This is the gather-kv form of
+        # sequence-parallel attention.
+        h_ax, w_ax = spatial_axes(self.spatial_axis)
+        kv = tn
+        for ax in (h_ax, w_ax):
+            if ax is not None:
+                kv = jax.lax.all_gather(kv, ax, axis=1, tiled=True)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=c,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
@@ -227,14 +232,11 @@ class TransformerFLCAUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        h_ax, w_ax = spatial_axes(cfg.spatial_axis)
-        if w_ax is not None:
-            raise ValueError("FLCA-UNet sharding is H-axis only")
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                   spatial_axis=cfg.spatial_axis)
         x = x.astype(cfg.dtype)
         y, cr, cb = bayer_luma_chroma(x.astype(jnp.float32),
-                                      spatial_axis=h_ax)
+                                      spatial_axis=cfg.spatial_axis)
         y, cr, cb = (t.astype(cfg.dtype) for t in (y, cr, cb))
 
         g = cfg.guidance

@@ -116,7 +116,6 @@ class LuminanceAwareMHSA(nn.Module):
         inner = self.num_heads * dh
         n = h * w
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h_ax, _ = spatial_axes(self.spatial_axis)
 
         qkv = Conv2d(inner * 3, 1, name="to_qkv", **kw)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -144,12 +143,15 @@ class LuminanceAwareMHSA(nn.Module):
         q = q + alpha.astype(q.dtype) * inv[:, None, :, None]
 
         # Token attention is global: queries stay local, keys/values are
-        # all-gathered along the H shards (gather-kv sequence parallelism);
+        # all-gathered along the sharded spatial axes (gather-kv sequence
+        # parallelism; key order is irrelevant — attention is
+        # permutation-invariant in keys, so 2D meshes gather both axes);
         # softmax over the (complete) key axis is then local, and the
         # attention output is per-query so no slice-back is needed.
-        if h_ax is not None:
-            k = jax.lax.all_gather(k, h_ax, axis=2, tiled=True)
-            v = jax.lax.all_gather(v, h_ax, axis=2, tiled=True)
+        from bayer_low_light_image_enhancement_tpu.ops.conv import gather_spatial
+
+        k = gather_spatial(k, self.spatial_axis, axis=2)
+        v = gather_spatial(v, self.spatial_axis, axis=2)
 
         scale = dh ** -0.5
         attn = lax.dot_general(
@@ -211,9 +213,6 @@ class LumaMHSARawFormer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        h_ax, w_ax = spatial_axes(cfg.spatial_axis)
-        if w_ax is not None:
-            raise ValueError("luma-MHSA sharding is H-axis only")
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 
         luma = bayer_luma_cfa(x, cfg.bayer_pattern,
@@ -308,12 +307,14 @@ class SimpleTokenTransformer(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        h_ax, _ = spatial_axes(self.spatial_axis)
         t = x.reshape(b, h * w, c)
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln1")
         tn = ln1(t.astype(jnp.float32)).astype(self.dtype)
-        # Gather-kv sequence-parallel token attention (queries local).
-        kv = jax.lax.all_gather(tn, h_ax, axis=1, tiled=True) if h_ax else tn
+        # Gather-kv sequence-parallel token attention (queries local; 2D
+        # meshes gather keys/values along both sharded axes).
+        from bayer_low_light_image_enhancement_tpu.ops.conv import gather_spatial
+
+        kv = gather_spatial(tn, self.spatial_axis, axis=1)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=c,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
@@ -369,9 +370,6 @@ class SimpleFLCAUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        h_ax, w_ax = spatial_axes(cfg.spatial_axis)
-        if w_ax is not None:
-            raise ValueError("simple-FLCA-UNet sharding is H-axis only")
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         cv = dict(spatial_axis=cfg.spatial_axis)
         from bayer_low_light_image_enhancement_tpu.ops.luma import bayer_luma_chroma

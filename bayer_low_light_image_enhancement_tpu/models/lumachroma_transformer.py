@@ -103,12 +103,14 @@ class LocalEnhanceTransformer(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h_ax, _ = spatial_axes(self.spatial_axis)
         t = x.reshape(b, h * w, c)
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ln1")
         tn = ln1(t.astype(jnp.float32)).astype(self.dtype)
-        # Gather-kv sequence-parallel token attention (queries local).
-        kv = jax.lax.all_gather(tn, h_ax, axis=1, tiled=True) if h_ax else tn
+        # Gather-kv sequence-parallel token attention (queries local; 2D
+        # meshes gather keys/values along both sharded axes).
+        from bayer_low_light_image_enhancement_tpu.ops.conv import gather_spatial
+
+        kv = gather_spatial(tn, self.spatial_axis, axis=1)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=c,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
@@ -168,13 +170,10 @@ class BayerLumaChromaTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
         sp = cfg.spatial_axis
-        h_ax, w_ax = spatial_axes(sp)
-        if w_ax is not None:
-            raise ValueError("lumachroma sharding is H-axis only")
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         cv = dict(spatial_axis=sp)
         raw = x.astype(cfg.dtype)
-        y, cr, cb = bayer_luma_chroma(raw.astype(jnp.float32), spatial_axis=h_ax)
+        y, cr, cb = bayer_luma_chroma(raw.astype(jnp.float32), spatial_axis=sp)
         y, cr, cb = (t.astype(cfg.dtype) for t in (y, cr, cb))
 
         def encoder(out_ch, name, inp):

@@ -48,6 +48,16 @@ def reduce_axis_names(spatial_axis, axes: Tuple[int, ...]) -> tuple:
     )
 
 
+def gather_spatial(t: jnp.ndarray, spatial_axis, axis: int) -> jnp.ndarray:
+    """All-gather ``t`` along every sharded spatial mesh axis, stacking into
+    tensor dim ``axis`` (the token dim for gather-kv attention — which is
+    permutation-invariant in keys, so gathered token order is irrelevant)."""
+    for ax in spatial_axes(spatial_axis):
+        if ax is not None:
+            t = lax.all_gather(t, ax, axis=axis, tiled=True)
+    return t
+
+
 def halo_pad(x: jnp.ndarray, halo: int, spatial_axis: str, dim: int = 1) -> jnp.ndarray:
     """Exchange ``halo`` boundary rows (``dim=1``) or columns (``dim=2``)
     with spatial-mesh neighbours.

@@ -545,3 +545,40 @@ class TestTiled2DVariants:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(expected), rtol=1e-4, atol=2e-5
         )
+
+    def _check2d_raw(self, name, in_ch=4, **kw):
+        from bayer_low_light_image_enhancement_tpu.models import get_model
+        from bayer_low_light_image_enhancement_tpu.parallel.tiled import (
+            make_tiled_forward,
+            shard_image,
+        )
+
+        mesh = create_mesh(data=1, spatial=2, spatial_w=2)
+        axes = (AXES.spatial, AXES.spatial_w)
+        mono = get_model(name, **kw)
+        tiled = get_model(name, spatial_axis=axes, **kw)
+        x = jnp.asarray(RNG.uniform(0, 1, (1, 32, 64, in_ch)).astype(np.float32))
+        v = mono.init(jax.random.PRNGKey(0), x[:, :16, :32])
+        expected = jnp.clip(mono.apply(v, x), 0.0, 1.0)
+        fwd = make_tiled_forward(
+            tiled, mesh, spatial_axis=AXES.spatial, spatial_w_axis=AXES.spatial_w
+        )
+        out = fwd(v, shard_image(x, mesh, spatial_w_axis=AXES.spatial_w))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=2e-5
+        )
+
+    def test_flca_unet_2d(self):
+        self._check2d_raw("flca_unet", base=8, blocks=(1, 1, 1), heads=2)
+
+    def test_unet_luma_dwt_2d(self):
+        self._check2d_raw("unet_luma_dwt", base=8, blocks=(1, 1, 1), heads=2)
+
+    def test_simple_flca_unet_2d(self):
+        self._check2d_raw("simple_flca_unet", base_ch=8, heads=2)
+
+    def test_lumachroma_2d(self):
+        self._check2d_raw("lumachroma_transformer", base=8, num_blocks=1, heads=2)
+
+    def test_luma_mhsa_2d(self):
+        self._check2d_raw("luma_mhsa_rawformer", in_ch=1, dim=8, num_heads=(2, 2, 2, 2))
