@@ -64,16 +64,34 @@ _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
 
-def _ln(x_f32, w_ref, b_ref, mavg_ref, eps=1e-5, chunks=1):
+def _ln(x_f32, w_ref, b_ref, msum_ref, inv_c, eps=1e-5, chunks=1,
+        bf16_stats=True):
     """Channel LayerNorm (torch semantics: biased var, fp32 stats).
 
     The mean over each image's channel segment is one [.., Cg] @ [Cg, Cg]
-    MXU dot with a block-diagonal averaging matrix — with g images packed in
-    the lane dim this is a segmented reduction the VPU can't express; with
-    g=1 it degenerates to the plain channel mean."""
-    mu = _matmul_bd(x_f32, mavg_ref, _F32, chunks)
-    var = _matmul_bd(x_f32 * x_f32, mavg_ref, _F32, chunks) - mu * mu
-    y = (x_f32 - mu) * jax.lax.rsqrt(var + eps)
+    MXU dot with a BINARY block-diagonal segment-sum matrix (``msum_ref``;
+    the exact 1/c scale is applied afterwards in fp32) — with g images packed
+    in the lane dim this is a segmented reduction the VPU can't express; with
+    g=1 it degenerates to the plain channel sum.
+
+    ``bf16_stats``: run the two stats matmuls with bf16 operands (fp32 MXU
+    accumulation). The input x is already bf16-valued (it came from HBM as
+    bf16) and the sum matrix is 0/1, so the mean is EXACT w.r.t. the data;
+    the variance uses the cancellation-free centered form E[(x-mu)^2] where
+    the bf16 rounding of (x-mu) costs ~2^-9 relative on var — far inside the
+    model's bf16 tolerance. fp32 matmuls pass the MXU at a fraction of bf16
+    rate, and the three LNs per block are the kernels' largest MXU slice.
+    """
+    if bf16_stats:
+        mu = _matmul_bd(x_f32.astype(_BF16), msum_ref, _F32, chunks) * inv_c
+        d = x_f32 - mu
+        db = d.astype(_BF16)
+        var = _matmul_bd(db * db, msum_ref, _F32, chunks) * inv_c
+        y = d * jax.lax.rsqrt(var + eps)
+    else:
+        mu = _matmul_bd(x_f32, msum_ref, _F32, chunks) * inv_c
+        var = _matmul_bd(x_f32 * x_f32, msum_ref, _F32, chunks) * inv_c - mu * mu
+        y = (x_f32 - mu) * jax.lax.rsqrt(var + eps)
     return y * w_ref[0].astype(_F32) + b_ref[0].astype(_F32)
 
 
@@ -200,7 +218,7 @@ def _win(prev_ref, cur_ref, nxt_ref, th):
 def _gram_kernel(
     hw_ref,  # scalar prefetch: [2] int32 (H_real, W_real)
     prev_ref, cur_ref, nxt_ref,  # [1, th, Wp, C] consecutive row blocks
-    mavg_ref,            # (C, C) f32 block-diagonal segment-mean matrix
+    msum_ref,            # (C, C) f32 binary block-diagonal segment-sum matrix
     ln1w_ref, ln1b_ref,  # (1, C)
     wq_ref, bq_ref,      # (C, C), (1, C)
     wk_ref, bk_ref,
@@ -216,6 +234,7 @@ def _gram_kernel(
     g_sp: int,
     w_seg: int,
     chunks: int,
+    ln_bf16: bool,
 ):
     j = pl.program_id(1)
     i = pl.program_id(2)
@@ -232,7 +251,8 @@ def _gram_kernel(
     seg = _seg_off(cg, c_img, g_sp, w_seg)
     m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
                     seg=seg)
-    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref, chunks=chunks)
+    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, msum_ref, 1.0 / c_img,
+              chunks=chunks, bf16_stats=ln_bf16)
           * m0.astype(_F32)).astype(_BF16)
 
     # Gram contributions only from this tile's own th x tw pixels (halo
@@ -287,7 +307,7 @@ def _gram_kernel(
 def _apply_ffn_kernel(
     hw_ref,
     prev_ref, cur_ref, nxt_ref,  # [1, th, Wp, C] consecutive row blocks
-    mavg_ref,   # (C, C) f32
+    msum_ref,   # (C, C) f32 binary segment-sum matrix
     apply_ref,  # (1, C, C) f32 — attn^T @ Wproj, per image (block-diag per group)
     ln1w_ref, ln1b_ref,
     wv_ref, bv_ref,
@@ -306,6 +326,7 @@ def _apply_ffn_kernel(
     g_sp: int,
     w_seg: int,
     chunks: int,
+    ln_bf16: bool,
 ):
     j = pl.program_id(1)
     i = pl.program_id(2)
@@ -318,7 +339,8 @@ def _apply_ffn_kernel(
     # Clamped boundary halo rows carry garbage (see _win); zero them in x
     # itself so the first-residual add (which uses raw x rows) stays exact.
     x = x * m0
-    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref, chunks=chunks)
+    xn = (_ln(x.astype(_F32), ln1w_ref, ln1b_ref, msum_ref, 1.0 / c_img,
+              chunks=chunks, bf16_stats=ln_bf16)
           * m0.astype(_F32)).astype(_BF16)
 
     # v branch; mv masks real pixels at the dw output's +1 column offset.
@@ -335,7 +357,8 @@ def _apply_ffn_kernel(
     # y is too (== the SAME zero padding the FFN depthwise expects).
     y = jnp.roll(x[1 : r - 1], -1, axis=1) + att  # [th+2, Wp, C], col off +1
 
-    yn = (_ln(y.astype(_F32), ln2w_ref, ln2b_ref, mavg_ref, chunks=chunks)
+    yn = (_ln(y.astype(_F32), ln2w_ref, ln2b_ref, msum_ref, 1.0 / c_img,
+              chunks=chunks, bf16_stats=ln_bf16)
           * mv.astype(_F32)).astype(_BF16)
     # Hidden-width copy of mv: under spatial packing masks are per-lane and
     # the FFN hidden tensor has ch_img (not c_img) lanes per packed image.
@@ -405,6 +428,7 @@ def fused_transformer_block(
     group: Optional[int] = None,
     interpret: Optional[bool] = None,
     chunked: Optional[bool] = None,
+    ln_bf16: Optional[bool] = None,
     return_residuals: bool = False,
 ) -> jnp.ndarray:
     """Run one full TransformerBlock on x [B, H, W, C] -> [B, H, W, C].
@@ -468,6 +492,9 @@ def fused_transformer_block(
         chunked = os.environ.get("BAYER_TPU_FUSED_CHUNKS", "0") == "1"
     legal = cg % 128 == 0 and 128 % c == 0 and cg > 128
     chunks = cg // 128 if (chunked and legal) else 1
+    if ln_bf16 is None:
+        import os
+        ln_bf16 = os.environ.get("BAYER_TPU_LN_BF16", "1") == "1"
 
     th = tile_rows
     hp = -(-h // th) * th
@@ -529,7 +556,7 @@ def fused_transformer_block(
     bd = lambda m: _block_diag(m, g)
     tile_v = lambda v: jnp.tile(jnp.reshape(v, (1, -1)), (1, g))
     tile_dw = lambda k: jnp.tile(k, (1, 1, g))
-    mavg = _block_diag(jnp.full((c, c), 1.0 / c, _F32), g)
+    msum = _block_diag(jnp.full((c, c), 1.0, _F32), g)
 
     blk = lambda f: pl.BlockSpec(
         (1, 1, th, wp, cg),
@@ -544,7 +571,7 @@ def fused_transformer_block(
 
     gram, qss, kss = pl.pallas_call(
         functools.partial(_gram_kernel, th=th, tw=tw, c_img=c, g_sp=g_sp,
-                          w_seg=w_seg, chunks=chunks),
+                          w_seg=w_seg, chunks=chunks, ln_bf16=ln_bf16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),
@@ -571,7 +598,7 @@ def fused_transformer_block(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        hw, xw, xw, xw, mavg,
+        hw, xw, xw, xw, msum,
         tile_v(ln1w), tile_v(ln1b),
         bd(wqkv[:, :c]), tile_v(bqkv[:c]),
         bd(wqkv[:, c : 2 * c]), tile_v(bqkv[c : 2 * c]),
@@ -617,7 +644,7 @@ def fused_transformer_block(
     out = pl.pallas_call(
         functools.partial(_apply_ffn_kernel, th=th, tw=tw, c_img=c,
                           ch_img=ch_hidden, g_sp=g_sp, w_seg=w_seg,
-                          chunks=chunks),
+                          chunks=chunks, ln_bf16=ln_bf16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),
@@ -642,7 +669,7 @@ def fused_transformer_block(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        hw, xw, xw, xw, mavg, apply,
+        hw, xw, xw, xw, msum, apply,
         tile_v(ln1w), tile_v(ln1b),
         bd(wqkv[:, 2 * c :]), tile_v(bqkv[2 * c :]),
         tile_dw(wdw[:, :, 2 * c :]), tile_v(bdw[2 * c :]),
