@@ -64,7 +64,10 @@ def _pallas_compiler_healthy(warm_timeout_s: float = 600.0) -> bool:
         return False
 
 
-BATCH, H, W, STEPS = 8, 512, 512, 50
+# BENCH_BATCH: the batched-crop count. Exported so the warm subprocess
+# (which inherits the environment) compiles the same program as main().
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+H, W, STEPS = 512, 512, 50
 
 
 def build_bench(fused: bool, compile_only: bool = False):
