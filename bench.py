@@ -66,7 +66,14 @@ def _pallas_compiler_healthy(warm_timeout_s: float = 600.0) -> bool:
 
 # BENCH_BATCH: the batched-crop count. Exported so the warm subprocess
 # (which inherits the environment) compiles the same program as main().
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# Validated at import so misconfiguration fails loudly here instead of
+# masquerading as a compiler-health failure inside the warm subprocess.
+try:
+    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+except ValueError:
+    raise SystemExit("BENCH_BATCH must be an integer >= 1")
+if BATCH < 1:
+    raise SystemExit("BENCH_BATCH must be >= 1")
 H, W, STEPS = 512, 512, 50
 
 
@@ -166,6 +173,10 @@ def main():
                 "value": round(mps, 3),
                 "unit": "megapixels/sec/chip",
                 "vs_baseline": round(mps / target, 4),
+                "batch": batch,
+                "h": h,
+                "w": w,
+                "steps": steps,
             }
         )
     )
