@@ -69,7 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=1,
         help="additionally shard frames along W over M chips (2D spatial "
-        "mesh of spatial_chips x spatial_w_chips; canonical RawFormer only)",
+        "mesh of spatial_chips x spatial_w_chips; supported by the full "
+        "model zoo except WFB, whose raster-order SSM shards along H only)",
     )
     p.add_argument(
         "--no_fused",
