@@ -89,13 +89,17 @@ def _attention(sd, base: str) -> Dict[str, Any]:
     else:
         qkv, dw = f"{base}.qkv", f"{base}.qkv_dwconv"
     proj = f"{base}.proj" if f"{base}.proj.weight" in sd else f"{base}.project_out"
-    temp = _get(sd, f"{base}.temperature", f"{base}.scale")
-    return {
+    out = {
         "qkv": _conv(sd, qkv),
         "qkv_dwconv": _conv(sd, dw),
         "project_out": _conv(sd, proj),
-        "temperature": temp.reshape(-1),
     }
+    if f"{base}.log_temperature" in sd:
+        # BayerTORGBColorMultiLvl.py:331 stores log(T), zero-init.
+        out["log_temperature"] = sd[f"{base}.log_temperature"].reshape(-1)
+    else:
+        out["temperature"] = _get(sd, f"{base}.temperature", f"{base}.scale").reshape(-1)
+    return out
 
 
 def _ffn(sd, base: str) -> Dict[str, Any]:
@@ -344,8 +348,84 @@ def import_flca_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params}
 
 
+def _se(sd, base: str) -> Dict[str, Any]:
+    """SE Sequential: [AdaptiveAvgPool2d, conv, ReLU, conv, Sigmoid]."""
+    return {"fc1": _conv(sd, f"{base}.1"), "fc2": _conv(sd, f"{base}.3")}
+
+
+def _enhanced_flca(sd, base: str, pyramid: bool) -> Dict[str, Any]:
+    """EnhancedFLCA (``TrueColorRawFormer.py:191-257``; pyramid + res_proj
+    variant ``BayerTORGBColorMultiLvl.py:182-285``)."""
+    p = {
+        "color_attention": _conv(sd, f"{base}.color_attention.0"),
+        "low_attn": _conv(sd, f"{base}.low_attn.0"),
+        "high_attn": _conv(sd, f"{base}.high_attn.0"),
+        "se": _se(sd, f"{base}.se"),
+    }
+    if pyramid:
+        p["res_proj_0"] = _conv(sd, f"{base}.res_proj.0")
+        p["res_proj_1"] = _conv(sd, f"{base}.res_proj.2")
+    return p
+
+
+def _bayer_processor(sd, base: str) -> Dict[str, Any]:
+    """EnhancedBayerProcessor (``TrueColorRawFormer.py:79-142``;
+    BayerTORGB variant ``BayerTORGBColorMultiLvl.py:72-134`` — identical
+    parameter names, different wiring handled by the flax module)."""
+    return {
+        "wb_gains": _get(sd, f"{base}.wb_gains"),
+        "color_matrix": _get(sd, f"{base}.color_matrix"),
+        "demosaic_refine_0": _conv(sd, f"{base}.demosaic_refine.0"),
+        "demosaic_refine_1": _conv(sd, f"{base}.demosaic_refine.2"),
+        "chroma_extractor_0": _conv(sd, f"{base}.chroma_extractor.0"),
+        "chroma_extractor_1": _conv(sd, f"{base}.chroma_extractor.2"),
+    }
+
+
+def _color_correction(sd, base: str) -> Dict[str, Any]:
+    """CameraAwareColorCorrection (``TrueColorRawFormer.py:148-185``;
+    softplus-gamma variant stores ``gamma_param``,
+    ``BayerTORGBColorMultiLvl.py:144``)."""
+    gamma = _get(sd, f"{base}.gamma", f"{base}.gamma_param")
+    return {
+        "gamma": np.asarray(gamma).reshape(()),
+        "color_transform_0": _conv(sd, f"{base}.color_transform.0"),
+        "color_transform_1": _conv(sd, f"{base}.color_transform.2"),
+        "tone_curve_0": _conv(sd, f"{base}.tone_curve.0"),
+        "tone_curve_1": _conv(sd, f"{base}.tone_curve.2"),
+    }
+
+
+def import_truecolor_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a TrueColorRawFormer checkpoint (``TrueColorRawFormer.py:377-453``)
+    or its BayerTORGB variant (``BayerTORGBColorMultiLvl.py:387-462``, detected
+    by the pyramid FLCA's res_proj keys) to TrueColorRawFormer variables."""
+    pyramid = "conv_tran1.FLCA.res_proj.0.weight" in sd
+    params: Dict[str, Any] = {
+        "bayer_processor": _bayer_processor(sd, "bayer_processor"),
+        "embedding": _conv(sd, "embedding"),
+        "color_correction": _color_correction(sd, "color_correction"),
+    }
+    for k in range(1, 8):
+        base = f"conv_tran{k}"
+        params[base] = {
+            "FLCA": _enhanced_flca(sd, f"{base}.FLCA", pyramid),
+            "Transformer": _transformer_block(sd, f"{base}.Transformer"),
+            "channel_reduce": _conv(sd, f"{base}.channel_reduce"),
+            "Conv_out": _conv(sd, f"{base}.Conv_out"),
+        }
+    for j in range(1, 4):
+        params[f"down{j}"] = _downsample(sd, f"down{j}")
+        params[f"up{j}"] = _upsample(sd, f"up{j}")
+        params[f"channel_reduce{j}"] = _conv(sd, f"channel_reduce{j}")
+    params["conv_out"] = _conv(sd, "conv_out")
+    return {"params": params}
+
+
 IMPORTERS = {
     "rawformer": import_rawformer_state_dict,
     "rawformer_wfb": import_wfb_state_dict,
     "flca_rawformer": import_flca_state_dict,
+    "truecolor_rawformer": import_truecolor_state_dict,
+    "bayertorgb_rawformer": import_truecolor_state_dict,
 }

@@ -114,6 +114,9 @@ class ChannelAttention(nn.Module):
 
     num_heads: int = 8
     use_bias: bool = True
+    # BayerTORGBColorMultiLvl.py:328-352 stores log(T) (zero-init) and
+    # exponentiates; the canonical Attention stores T directly (ones-init).
+    log_temperature: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     spatial_axis: Optional[str] = None
@@ -127,9 +130,19 @@ class ChannelAttention(nn.Module):
             dim * 3, 3, groups=dim * 3, use_bias=self.use_bias, name="qkv_dwconv", **kw
         )(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        temperature = self.param(
-            "temperature", nn.initializers.ones, (self.num_heads,), self.param_dtype
-        )
+        if self.log_temperature:
+            temperature = jnp.exp(
+                self.param(
+                    "log_temperature",
+                    nn.initializers.zeros,
+                    (self.num_heads,),
+                    self.param_dtype,
+                )
+            )
+        else:
+            temperature = self.param(
+                "temperature", nn.initializers.ones, (self.num_heads,), self.param_dtype
+            )
         out = channel_attention(q, k, v, temperature, self.num_heads, self.spatial_axis)
         return Conv2d(dim, 1, use_bias=self.use_bias, name="project_out", **kw)(out)
 
@@ -161,6 +174,7 @@ class TransformerBlock(nn.Module):
 
     num_heads: int = 8
     ffn_expansion: int = 2
+    log_temperature: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     spatial_axis: Optional[str] = None
@@ -169,7 +183,9 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, spatial_axis=self.spatial_axis)
-        x = x + ChannelAttention(num_heads=self.num_heads, name="attn", **kw)(
+        x = x + ChannelAttention(num_heads=self.num_heads,
+                                 log_temperature=self.log_temperature,
+                                 name="attn", **kw)(
             LayerNorm2d(name="norm1", param_dtype=self.param_dtype)(x).astype(self.dtype)
         )
         x = x + ConvFFN(hidden_features=dim * self.ffn_expansion, name="ffn", **kw)(

@@ -36,10 +36,13 @@ Dtype = Any
 
 
 class TrueColorStage(nn.Module):
-    """EnhancedConv_Transformer (TrueColorRawFormer.py:340-372)."""
+    """EnhancedConv_Transformer (TrueColorRawFormer.py:340-372; pyramid/
+    log-temperature variant BayerTORGBColorMultiLvl.py:370-385)."""
 
     num_heads: int = 8
     ffn_expansion: int = 2
+    flca_levels: int = 1
+    log_temperature: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     spatial_axis: Optional[str] = None
@@ -49,9 +52,12 @@ class TrueColorStage(nn.Module):
         dim = feat.shape[-1]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   spatial_axis=self.spatial_axis)
-        flca_feat = EnhancedFLCA(name="FLCA", **kw)(feat, y, cr, cb, rgb_guide)
+        flca_feat = EnhancedFLCA(levels=self.flca_levels, name="FLCA", **kw)(
+            feat, y, cr, cb, rgb_guide
+        )
         trans = TransformerBlock(
             num_heads=self.num_heads, ffn_expansion=self.ffn_expansion,
+            log_temperature=self.log_temperature,
             name="Transformer", **kw,
         )(feat)
         x = jnp.concatenate([flca_feat, trans], axis=-1)
@@ -83,7 +89,10 @@ class TrueColorRawFormer(nn.Module):
 
         def stage(heads, name):
             return TrueColorStage(
-                num_heads=heads, ffn_expansion=cfg.ffn_expansion, name=name, **kw
+                num_heads=heads, ffn_expansion=cfg.ffn_expansion,
+                flca_levels=2 if cfg.bayertorgb else 1,
+                log_temperature=cfg.bayertorgb,
+                name=name, **kw,
             )
 
         x = x.astype(cfg.dtype)

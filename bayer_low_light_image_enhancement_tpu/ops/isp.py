@@ -33,7 +33,15 @@ Dtype = Any
 
 
 class BayerProcessor(nn.Module):
-    """Learned Bayer->guidance front end (TrueColorRawFormer.py:79-142)."""
+    """Learned Bayer->guidance front end (TrueColorRawFormer.py:79-142).
+
+    ``positive_gains=True`` switches to the BayerTORGB variant
+    (``BayerTORGBColorMultiLvl.py:72-134``), whose pipeline differs beyond
+    the gains: WB init (1.8, 1, 1, 1.6) with softplus+1e-6, linear demosaic
+    straight from the WB planes (no pre-matrix conv), 3x3 color matrix,
+    then a residual GELU demosaic-refine on the 3-channel linear RGB whose
+    output becomes the rgb_guide (y/chroma come from the pre-refine RGB).
+    """
 
     positive_gains: bool = False  # BayerTORGBColorMultiLvl.py:72-134 variant
     eps: float = 1e-6
@@ -43,20 +51,28 @@ class BayerProcessor(nn.Module):
 
     @nn.compact
     def __call__(self, planes: jnp.ndarray):
-        """planes: [B, H, W, 4] (R, G1, G2, B) -> (y, cr, cb, rgb_linear)."""
+        """planes: [B, H, W, 4] (R, G1, G2, B) -> (y, cr, cb, rgb_guide)."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   spatial_axis=self.spatial_axis)
 
-        wb_raw = self.param("wb_gains", nn.initializers.ones, (4,), self.param_dtype)
-        gains = jax.nn.softplus(wb_raw) if self.positive_gains else wb_raw
+        wb_init = (
+            (lambda k, s, d: jnp.asarray([1.8, 1.0, 1.0, 1.6], d))
+            if self.positive_gains
+            else nn.initializers.ones
+        )
+        wb_raw = self.param("wb_gains", wb_init, (4,), self.param_dtype)
+        gains = (
+            jax.nn.softplus(wb_raw) + 1e-6 if self.positive_gains else wb_raw
+        )
         wb = planes * gains.astype(planes.dtype)
 
-        refined = Conv2d(32, 3, name="demosaic_refine_0", **kw)(wb)
-        refined = jnp.maximum(refined, 0.0)
-        refined = Conv2d(4, 3, name="demosaic_refine_1", **kw)(refined)
         if self.positive_gains:
-            refined = wb + refined  # residual refinement variant
+            # BayerTORGB: linear demosaic directly from the WB planes.
+            refined = wb
         else:
+            refined = Conv2d(32, 3, name="demosaic_refine_0", **kw)(wb)
+            refined = jnp.maximum(refined, 0.0)
+            refined = Conv2d(4, 3, name="demosaic_refine_1", **kw)(refined)
             refined = jax.nn.softplus(refined.astype(jnp.float32)).astype(refined.dtype)
 
         r = refined[..., 0:1]
@@ -86,6 +102,15 @@ class BayerProcessor(nn.Module):
         ch = Conv2d(2, 3, name="chroma_extractor_1", **kw)(ch)
         ch = jnp.tanh(ch.astype(jnp.float32)).astype(self.dtype)
         cr, cb = ch[..., 0:1], ch[..., 1:2]
+
+        if self.positive_gains:
+            # Residual GELU refine on linear RGB; the refined map is the
+            # guidance (y/cr/cb stay on the pre-refine RGB).
+            d = Conv2d(32, 3, name="demosaic_refine_0", **kw)(rgb_linear)
+            d = jax.nn.gelu(d.astype(jnp.float32), approximate=False).astype(d.dtype)
+            d = Conv2d(3, 3, name="demosaic_refine_1", **kw)(d)
+            rgb_guide = rgb_linear + d
+            return y, cr, cb, rgb_guide
         return y, cr, cb, rgb_linear
 
 
@@ -103,6 +128,9 @@ class ColorCorrection(nn.Module):
         gamma = self.param(
             "gamma", lambda k, s, d: jnp.full(s, 2.2, d), (), self.param_dtype
         )
+        if self.bounded:
+            # BayerTORGB keeps gamma positive (BayerTORGBColorMultiLvl.py:162).
+            gamma = jax.nn.softplus(gamma) + 1e-6
         xg = jnp.power(jnp.clip(x.astype(jnp.float32), 0.0, 1.0), 1.0 / gamma)
         xg = xg.astype(self.dtype)
 
@@ -130,8 +158,16 @@ class ColorCorrection(nn.Module):
 
 
 class EnhancedFLCA(nn.Module):
-    """FLCA with 5-channel color guidance (TrueColorRawFormer.py:191-257)."""
+    """FLCA with 5-channel color guidance (TrueColorRawFormer.py:191-257).
 
+    ``levels > 1`` gives the BayerTORGB pyramid variant
+    (``BayerTORGBColorMultiLvl.py:182-285``): an N-level Haar pyramid of y
+    (y_low = deepest LL, y_high = mean of the per-level HF magnitudes),
+    tanh-bounded frequency attention, and a tanh-bounded 0.2-scaled residual
+    projection before the SE gate.
+    """
+
+    levels: int = 1
     eps: float = 1e-8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -140,15 +176,21 @@ class EnhancedFLCA(nn.Module):
     @nn.compact
     def __call__(self, feat, y, cr, cb, rgb_guide):
         _, hf, wf, c = feat.shape
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, spatial_axis=self.spatial_axis)
-
-        ll, highs = haar_dwt_fb(y.astype(jnp.float32))
-        high_mag = jnp.sqrt(jnp.sum(jnp.square(highs), axis=-1) + self.eps)
-
         sp = self.spatial_axis
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, spatial_axis=sp)
+        pyramid = self.levels > 1
+
+        cur = y.astype(jnp.float32)
+        high_mags = []
+        for _ in range(max(1, self.levels)):
+            cur, highs = haar_dwt_fb(cur)
+            high_mags.append(jnp.sqrt(jnp.sum(jnp.square(highs), axis=-1) + self.eps))
+        ll = cur
+
         y_r = resize_bilinear(y.astype(jnp.float32), hf, wf, sp).astype(self.dtype)
         y_low = resize_bilinear(ll, hf, wf, sp).astype(self.dtype)
-        y_high = resize_bilinear(high_mag, hf, wf, sp).astype(self.dtype)
+        hm_r = [resize_bilinear(h, hf, wf, sp) for h in high_mags]
+        y_high = (sum(hm_r) / len(hm_r)).astype(self.dtype)
         cr_r = resize_bilinear(cr.astype(jnp.float32), hf, wf, sp).astype(self.dtype)
         cb_r = resize_bilinear(cb.astype(jnp.float32), hf, wf, sp).astype(self.dtype)
         rgb_r = resize_bilinear(rgb_guide.astype(jnp.float32), hf, wf, sp).astype(self.dtype)
@@ -160,13 +202,20 @@ class EnhancedFLCA(nn.Module):
             Conv2d(c, 3, name="color_attention", **kw)(guidance).astype(jnp.float32)
         ).astype(self.dtype)
 
-        freq_attn = jax.nn.sigmoid(
+        low = jax.nn.sigmoid(
             Conv2d(c, 3, name="low_attn", **kw)(y_low).astype(jnp.float32)
-        ).astype(self.dtype) + jnp.tanh(
+        )
+        high = jnp.tanh(
             Conv2d(c, 3, name="high_attn", **kw)(y_high).astype(jnp.float32)
-        ).astype(self.dtype)
+        )
+        freq_attn = (jnp.tanh(low + high) if pyramid else low + high).astype(self.dtype)
 
         x = feat * (1.0 + color_attn + freq_attn)
+        if pyramid:
+            res = Conv2d(c, 1, name="res_proj_0", **kw)(x)
+            res = jnp.maximum(res, 0.0)
+            res = Conv2d(c, 1, name="res_proj_1", **kw)(res)
+            x = x + (jnp.tanh(res.astype(jnp.float32)) * 0.2).astype(self.dtype)
         se = SqueezeExcite(
             name="se", dtype=self.dtype, param_dtype=self.param_dtype,
             spatial_axis=self.spatial_axis,

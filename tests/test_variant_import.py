@@ -21,6 +21,7 @@ import flax.linen as nn
 
 from bayer_low_light_image_enhancement_tpu.compat.torch_import import (
     import_flca_state_dict,
+    import_truecolor_state_dict,
     import_wfb_state_dict,
 )
 
@@ -168,6 +169,107 @@ class TestFLCAImport:
         variables = jax.tree.map(jnp.asarray, import_flca_state_dict(sd))
         model = FLCARawFormer(
             FLCARawFormerConfig(dim=self.dim, num_heads=(2, 2, 2, 2), ffn_expansion=2)
+        )
+        return ref, model, variables
+
+    def test_tree_matches_init(self, pair):
+        _, model, variables = pair
+        x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        init_vars = model.init(jax.random.PRNGKey(0), x)
+        _assert_same_tree(init_vars, variables)
+
+    def test_forward_parity(self, pair):
+        ref, model, variables = pair
+        x = RNG.uniform(0, 1, (1, 1, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got), expected.transpose(0, 2, 3, 1), rtol=2e-3, atol=2e-3
+        )
+
+
+class TestTrueColorImport:
+    """TrueColorRawFormer .pth round trip (``TrueColorRawFormer.py:377-453``):
+    learned-ISP front end (WB gains, color matrix, demosaic refine, chroma
+    extractor), 5-channel-guidance FLCA stages, camera-aware color correction.
+    """
+
+    dim = 8
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from conftest import add_reference_to_path
+
+        add_reference_to_path()
+        import TrueColorRawFormer as ref_mod
+
+        from bayer_low_light_image_enhancement_tpu.models.truecolor import (
+            TrueColorConfig,
+            TrueColorRawFormer,
+        )
+
+        torch.manual_seed(2)
+        ref = ref_mod.TrueColorRawFormer(
+            inp_channels=1, out_channels=3, dim=self.dim, num_heads=[2, 2, 2, 2],
+            ffn_expansion_factor=2,
+        ).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables = jax.tree.map(jnp.asarray, import_truecolor_state_dict(sd))
+        model = TrueColorRawFormer(
+            TrueColorConfig(dim=self.dim, num_heads=(2, 2, 2, 2), ffn_expansion=2)
+        )
+        return ref, model, variables
+
+    def test_tree_matches_init(self, pair):
+        _, model, variables = pair
+        x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        init_vars = model.init(jax.random.PRNGKey(0), x)
+        _assert_same_tree(init_vars, variables)
+
+    def test_forward_parity(self, pair):
+        ref, model, variables = pair
+        x = RNG.uniform(0, 1, (1, 1, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got), expected.transpose(0, 2, 3, 1), rtol=2e-3, atol=2e-3
+        )
+
+
+class TestBayerTORGBImport:
+    """BayerTORGB variant round trip (``BayerTORGBColorMultiLvl.py:387-462``):
+    softplus-positive WB gains, residual GELU demosaic refine on linear RGB,
+    2-level pyramid FLCA with res_proj, log-temperature attention, softplus
+    gamma + bounded multiplicative tone curve."""
+
+    dim = 8
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from conftest import add_reference_to_path
+
+        add_reference_to_path()
+        import BayerTORGBColorMultiLvl as ref_mod
+
+        from bayer_low_light_image_enhancement_tpu.models.truecolor import (
+            TrueColorConfig,
+            TrueColorRawFormer,
+        )
+
+        torch.manual_seed(3)
+        ref = ref_mod.TrueColorRawFormer(
+            inp_channels=1, out_channels=3, dim=self.dim, num_heads=[2, 2, 2, 2],
+            ffn_expansion_factor=2,
+        ).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables = jax.tree.map(jnp.asarray, import_truecolor_state_dict(sd))
+        model = TrueColorRawFormer(
+            TrueColorConfig(
+                dim=self.dim, num_heads=(2, 2, 2, 2), ffn_expansion=2,
+                bayertorgb=True,
+            )
         )
         return ref, model, variables
 
