@@ -35,6 +35,7 @@ TOL = dict(rtol=2.5e-2, atol=2.5e-2)
         (1, 8, 16, 8, 2, 16),  # tile taller than the image
         (1, 16, 272, 8, 2, 8),  # wide single frame -> spatial lane packing
         (1, 16, 260, 8, 2, 8),  # spatial packing with a masked W tail
+        (1, 16, 272, 32, 4, 8),  # spatial packing AND merged qk (cg=128)
     ],
 )
 def test_matches_module_path(b, h, w, c, heads, th):
@@ -53,20 +54,20 @@ def test_matches_module_path(b, h, w, c, heads, th):
     )
 
 
-def test_chunked_block_diag_matches_dense():
-    """chunked=True (block-diagonal 128-lane sub-matmuls at cg=256) is
-    numerically equivalent to the dense [cg, cg] path; b=16, c=16 packs
-    g=16 images -> cg=256 -> chunks=2."""
+def test_merged_qk_geometry_matches_module():
+    """The merged-qk kernel (taken when cg % 128 == 0: one [Cg, 2Cg] matmul
+    + one depthwise pass with tile-aligned q/k lane halves) matches the
+    module path; b=16, c=16 packs g=16 images -> cg=256 -> merged.
+    (Replaces the retired `chunked` path's test — that 128-lane sub-matmul
+    split measured 0.87x dense and was removed in round 3.)"""
     module = TransformerBlock(num_heads=4, dtype=jnp.bfloat16)
     x = jnp.asarray(RNG.standard_normal((16, 16, 16, 16)).astype(np.float32) * 0.5)
     variables = module.init(jax.random.PRNGKey(0), x)
     xb = x.astype(jnp.bfloat16)
-    dense = fused_transformer_block(xb, variables["params"], 4, tile_rows=8,
-                                    chunked=False)
-    chunked = fused_transformer_block(xb, variables["params"], 4, tile_rows=8,
-                                      chunked=True)
+    expected = module.apply(variables, xb)
+    got = fused_transformer_block(xb, variables["params"], 4, tile_rows=8)
     np.testing.assert_allclose(
-        np.asarray(chunked, np.float32), np.asarray(dense, np.float32), **TOL
+        np.asarray(got, np.float32), np.asarray(expected, np.float32), **TOL
     )
 
 
