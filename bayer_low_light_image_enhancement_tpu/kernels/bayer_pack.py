@@ -31,7 +31,16 @@ BLACK_LEVEL = 512.0
 WHITE_LEVEL = 16383.0
 
 
-def _pack_kernel(ratio_ref, mosaic_ref, out_ref, *, th: int, black: float, white: float):
+def _pack_kernel(
+    ratio_ref,
+    mosaic_ref,
+    out_ref,
+    *,
+    th: int,
+    black: float,
+    white: float,
+    clamp01: bool,
+):
     # Mosaic can't cast uint16 -> f32 directly: bitcast to int16, widen, and
     # undo two's complement for codes >= 32768 (hot pixels above white level).
     xi = pltpu.bitcast(mosaic_ref[0], jnp.int16).astype(jnp.int32)
@@ -41,6 +50,11 @@ def _pack_kernel(ratio_ref, mosaic_ref, out_ref, *, th: int, black: float, white
     x = (x - black) * (1.0 / (white - black + 1e-6))
     b = pl.program_id(0)
     x = x * ratio_ref[b]
+    if clamp01:
+        # The model clamps its input to [0,1] first thing (reference
+        # model.py:475); x >= 0 already, so only the top clip is needed.
+        # Folding it here lets the prepacked entry skip a full-tensor pass.
+        x = jnp.minimum(x, 1.0)
     out_ref[0] = x.astype(out_ref.dtype)
 
 
@@ -50,10 +64,15 @@ def bayer_pack_normalize(
     tile_rows: int = 64,
     out_dtype=jnp.float32,
     interpret: bool = None,
+    clamp01: bool = False,
 ) -> jnp.ndarray:
     """[B, H, W] uint16 mosaic + [B] ratio -> [B, H/2, W/2, 4] (R, G1, G2, B).
 
     Fused device-side equivalent of normalize_sid + pack_bayer for RGGB.
+    With ``clamp01`` the model's input clamp (reference model.py:475) is
+    folded into the same pass; with ``out_dtype=jnp.bfloat16`` the kernel
+    writes bf16 straight into the embedding conv's input — half the HBM
+    write traffic and no separate convert pass (VERDICT r2 #2).
     """
     bsz, h, w = mosaic.shape
     if h % 2 or w % 2:
@@ -66,7 +85,7 @@ def bayer_pack_normalize(
     grid = (bsz, (h // 2) // th)
 
     kernel = functools.partial(
-        _pack_kernel, th=th, black=BLACK_LEVEL, white=WHITE_LEVEL
+        _pack_kernel, th=th, black=BLACK_LEVEL, white=WHITE_LEVEL, clamp01=clamp01
     )
     out = pl.pallas_call(
         kernel,
@@ -90,6 +109,24 @@ def bayer_pack_normalize(
     from bayer_low_light_image_enhancement_tpu.ops.shuffle import space_to_depth
 
     return space_to_depth(out[..., None], 2)
+
+
+def make_raw_u16_forward(apply_fn, dtype=jnp.bfloat16):
+    """Compose the fused pack kernel with a model forward.
+
+    ``apply_fn(variables, x, prepacked=True)`` must accept the packed
+    [B, H/2, W/2, 4] planes (models/rawformer.py ``prepacked``). The pack
+    kernel decodes the uint16 mosaic, normalises, amplifies, clamps and
+    emits ``dtype`` (bf16 by default) in ONE pass — the production input
+    path: uint16 H2D, no fp32 mosaic or separate clamp/convert in HBM.
+    Reference semantics: ``load_dataset.py:81-90`` + ``model.py:475``.
+    """
+
+    def forward(variables, mosaic: jnp.ndarray, ratio: jnp.ndarray, **kw):
+        x4 = bayer_pack_normalize(mosaic, ratio, out_dtype=dtype, clamp01=True)
+        return apply_fn(variables, x4, prepacked=True, **kw)
+
+    return forward
 
 
 def bayer_pack_normalize_xla(

@@ -200,10 +200,61 @@ def _win(prev_ref, cur_ref, nxt_ref, th):
     """Assemble the (th+4)-row halo window from three consecutive th-row
     blocks (leading-dim slices + concat — free on TPU). Boundary tiles read
     row-clamped neighbour blocks whose halo rows are garbage; every consumer
-    masks them via ``_real_mask`` (they map outside [0, H_real))."""
+    masks them via ``_real_mask`` (they map outside [0, H_real)).
+
+    Round-3 note: on cg % 128 == 0 geometries the forward kernels use
+    explicit-DMA overlapping windows instead (``_dma_window``); this stays
+    the path for unaligned lane counts (Mosaic can't DMA-slice them from
+    HBM), for the backward twins (fused_block_bwd.py), and the floor
+    probes."""
     return jnp.concatenate(
         [prev_ref[0, 0, th - 2 :], cur_ref[0, 0], nxt_ref[0, 0, :2]], axis=0
     )
+
+
+def _dma_window(x_ref, buf, sems, bb, j, i, *, nw, nt, th):
+    """Double-buffered explicit DMA of the OVERLAPPING (th+4)-row halo
+    window for grid step (bb, j, i) from the H-padded input (rows shifted
+    +2, so window i = rows [i*th, i*th+th+4) is static-size and in-bounds
+    and halo rows outside the real image are zeros, not clamped garbage).
+
+    Replaces the prev/cur/nxt blocked specs + concat of v1-v3: measured on
+    v5e at [8,256,256,32] th=16, the blocked pipeline's window assembly
+    serialised ahead of compute (copy floor 0.59 ms; VPU-mix ladder level
+    1.60 ms) while the explicit overlap runs the same mix at 1.06 ms
+    (benchmarks/exp_dma_floor.py). Each row is fetched once (+4/th halo
+    amplification) instead of three times, and the window lands contiguous
+    in scratch — no VPU concat. Requires the grid dims to iterate
+    sequentially (dimension_semantics 'arbitrary') so the slot chaining
+    holds: at step s the kernel starts the DMA for step s+1 into slot
+    (s+1)%2 and waits on slot s%2 (started at step s-1; step 0 bootstraps).
+    """
+    step = (bb * nw + j) * nt + i
+    total = pl.num_programs(0) * nw * nt
+
+    def _start(s):
+        sb = s // (nw * nt)
+        rem = s % (nw * nt)
+        pltpu.make_async_copy(
+            x_ref.at[sb, rem // nt, pl.ds((rem % nt) * th, th + 4)],
+            buf.at[s % 2],
+            sems.at[s % 2],
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        _start(0)
+
+    @pl.when(step + 1 < total)
+    def _():
+        _start(step + 1)
+
+    pltpu.make_async_copy(
+        x_ref.at[bb, j, pl.ds(i * th, th + 4)],
+        buf.at[step % 2],
+        sems.at[step % 2],
+    ).wait()
+    return buf[step % 2]
 
 
 def _own_mask(hw_ref, i, th, tw, r, wp, cb, seg, g_sp, w_seg, lanes):
@@ -237,7 +288,7 @@ def _gram_accum(q, k, gram_ref):
 
 def _gram_kernel(
     hw_ref,  # scalar prefetch: [2] int32 (H_real, W_real)
-    prev_ref, cur_ref, nxt_ref,  # [1, th, Wp, C] consecutive row blocks
+    prev_ref, cur_ref, nxt_ref,  # [1, 1, th, Wp, Cg] consecutive row blocks
     msum_ref,            # (C, C) f32 binary block-diagonal segment-sum matrix
     wq_ref, bq_ref,      # (C, C), (1, C) — LN1 affine folded in host-side
     wk_ref, bk_ref,
@@ -254,6 +305,11 @@ def _gram_kernel(
     w_seg: int,
     ln_bf16: bool,
 ):
+    """Split-q/k gram kernel — blocked prev/cur/nxt halo specs. Only runs on
+    cg % 128 != 0 geometries (cold, small-batch eval shapes): those can't
+    use the explicit-DMA windows (Mosaic requires 128-aligned lane slices
+    for HBM copies), and they can't merge q/k either, so the two gates
+    coincide and this kernel stays on the v3 structure."""
     j = pl.program_id(1)
     i = pl.program_id(2)
     cb = j * tw
@@ -264,13 +320,13 @@ def _gram_kernel(
         qss_ref[...] = jnp.zeros_like(qss_ref)
         kss_ref[...] = jnp.zeros_like(kss_ref)
 
-    x = _win(prev_ref, cur_ref, nxt_ref, th)  # [R, Wp4, C] bf16
+    x = _win(prev_ref, cur_ref, nxt_ref, th)
     r, wp, cg = x.shape
     seg = _seg_off(cg, c_img, g_sp, w_seg)
     m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
                     seg=seg)
-    # Mask x itself: a zero pixel LN-normalises to exactly zero (affine is
-    # folded into the q/k weights), so no post-LN mask is needed.
+    # Mask x itself: clamped boundary halo rows carry garbage (see _win); a
+    # zero pixel LN-normalises to exactly zero (affine folded into q/k).
     xn = _ln_core((x * m0).astype(_F32), msum_ref, 1.0 / c_img,
                   bf16_stats=ln_bf16)
 
@@ -290,15 +346,18 @@ def _gram_kernel(
 
 def _gram_kernel_merged(
     hw_ref,
-    prev_ref, cur_ref, nxt_ref,
+    x_ref,
     msum_ref,
     wqk_ref, bqk_ref,      # (C, 2C), (1, 2C) — [q | k] halves, affine folded
     dwqk_ref, bdwqk_ref,   # (3, 3, 2C), (1, 2C)
     gram_ref,   # out (1, C, C) f32
     qkss_ref,   # out (1, 1, 2C) f32 — [qss | kss]
+    buf, sems,
     *,
     th: int,
     tw: int,
+    nw: int,
+    nt: int,
     c_img: int,
     g_sp: int,
     w_seg: int,
@@ -310,6 +369,7 @@ def _gram_kernel_merged(
     instruction chain of the split path for the same FLOPs, which matters
     because the kernel is dependency-chain-bound, not MXU-bound
     (BENCHMARKS.md round-3)."""
+    bb = pl.program_id(0)
     j = pl.program_id(1)
     i = pl.program_id(2)
     cb = j * tw
@@ -319,12 +379,13 @@ def _gram_kernel_merged(
         gram_ref[...] = jnp.zeros_like(gram_ref)
         qkss_ref[...] = jnp.zeros_like(qkss_ref)
 
-    x = _win(prev_ref, cur_ref, nxt_ref, th)
+    x = _dma_window(x_ref, buf, sems, bb, j, i, nw=nw, nt=nt, th=th)
     r, wp, cg = x.shape
     seg = _seg_off(cg, c_img, g_sp, w_seg)
     m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
                     seg=seg)
-    xn = _ln_core((x * m0).astype(_F32), msum_ref, 1.0 / c_img,
+    # x needs no masking: out-of-image pixels are zero-padded host-side.
+    xn = _ln_core(x.astype(_F32), msum_ref, 1.0 / c_img,
                   bf16_stats=ln_bf16)
 
     seg2 = _seg_off(2 * cg, c_img, g_sp, w_seg)
@@ -346,38 +407,54 @@ def _gram_kernel_merged(
 
 def _apply_ffn_kernel(
     hw_ref,
-    prev_ref, cur_ref, nxt_ref,  # [1, th, Wp, C] consecutive row blocks
-    msum_ref,   # (C, C) f32 binary segment-sum matrix
-    apply_ref,  # (1, C, C) f32 — attn^T @ Wproj, per image (block-diag per group)
-    wv_ref, bv_ref,      # LN1 affine folded in host-side
-    dwv_ref, bdwv_ref,
-    bproj_ref,           # (1, C)
-    wp1_ref, bp1_ref,    # (C, Ch), (1, Ch) — LN2 affine folded in
-    dwf_ref, bdwf_ref,   # (3, 3, Ch), (1, Ch)
-    wp2_ref, bp2_ref,    # (Ch, C), (1, C)
-    out_ref,   # [1, th, tw, C]
-    *,
+    *refs,
+    # use_dma=True:  refs = (x_ref [B2,nw,hp+4,Wp,Cg] bf16 in HBM/ANY,
+    #                        msum, apply, wv, bv, dwv, bdwv, bproj,
+    #                        wp1, bp1, dwf, bdwf, wp2, bp2, out,
+    #                        buf, sems)           — explicit-DMA windows
+    # use_dma=False: refs = (prev, cur, nxt [1,1,th,Wp,Cg] blocked specs,
+    #                        msum, ..., out)      — v3 halo assembly
+    # msum: (C, C) f32 binary segment-sum matrix
+    # apply: (1, C, C) f32 — attn^T @ Wproj, per image (block-diag per group)
+    # wv/bv, dwv/bdwv, bproj: v branch (LN1 affine folded in host-side)
+    # wp1/bp1, dwf/bdwf, wp2/bp2: FFN (LN2 affine folded in)
+    # out: [1, th, tw, C]
     th: int,
     tw: int,
+    nw: int,
+    nt: int,
     c_img: int,
     ch_img: int,
     g_sp: int,
     w_seg: int,
     ln_bf16: bool,
     gelu_bf16: bool,
+    use_dma: bool,
 ):
+    bb = pl.program_id(0)
     j = pl.program_id(1)
     i = pl.program_id(2)
     cb = j * tw
-    x = _win(prev_ref, cur_ref, nxt_ref, th)
+    if use_dma:
+        (x_ref, msum_ref, apply_ref, wv_ref, bv_ref, dwv_ref, bdwv_ref,
+         bproj_ref, wp1_ref, bp1_ref, dwf_ref, bdwf_ref, wp2_ref, bp2_ref,
+         out_ref, buf, sems) = refs
+        x = _dma_window(x_ref, buf, sems, bb, j, i, nw=nw, nt=nt, th=th)
+    else:
+        (prev_ref, cur_ref, nxt_ref, msum_ref, apply_ref, wv_ref, bv_ref,
+         dwv_ref, bdwv_ref, bproj_ref, wp1_ref, bp1_ref, dwf_ref, bdwf_ref,
+         wp2_ref, bp2_ref, out_ref) = refs
+        x = _win(prev_ref, cur_ref, nxt_ref, th)
     r, wp, cg = x.shape
     seg = _seg_off(cg, c_img, g_sp, w_seg)
     m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
                     seg=seg)
-    # Clamped boundary halo rows carry garbage (see _win); zero them in x
-    # itself so the first-residual add (which uses raw x rows) stays exact.
-    # A zero pixel LN-normalises to exactly zero (affine folded into wv).
-    x = x * m0
+    if not use_dma:
+        # Clamped boundary halo rows carry garbage (see _win); zero them in
+        # x itself so the first-residual add (raw x rows) stays exact. On
+        # the DMA path the H-padded input's out-of-image pixels are already
+        # exact zeros, so no mask is needed there.
+        x = x * m0
     xn = _ln_core(x.astype(_F32), msum_ref, 1.0 / c_img, bf16_stats=ln_bf16)
 
     # v branch; mv masks real pixels at the dw output's +1 column offset.
@@ -536,6 +613,10 @@ def fused_transformer_block(
     # Merged q/k: one [Cg, 2Cg] matmul + one depthwise pass when the halves
     # split at a 128-lane tile boundary (free slices in-kernel).
     merged = cg % 128 == 0
+    # Explicit-DMA halo windows need 128-aligned lane slices for the HBM
+    # copy (Mosaic tiling constraint) — the same condition as merged q/k.
+    # Unaligned (cold, small-batch) geometries keep the v3 blocked specs.
+    use_dma = merged
 
     th = tile_rows
     hp = -(-h // th) * th
@@ -552,7 +633,13 @@ def fused_transformer_block(
         tw = 512 if g * c >= 128 else 256
     wpad = -(-w // tw) * tw
     nw = wpad // tw
-    r, wp = th + 4, tw + 4
+    # Explicit-DMA windows (see _dma_window) must be tile-aligned in the
+    # sublane (W) dim: round the window width up to a multiple of 8. The
+    # trailing extra columns are real next-tile data or zero pad; consumers
+    # never read past column tw+2 (the +2-offset extraction), so they are
+    # inert. Blocked specs need no such alignment (Pallas pads VMEM blocks).
+    extra = (-(tw + 4)) % 8 if use_dma else 0
+    r, wp = th + 4, tw + 4 + extra
 
     dtype_in = x.dtype
     xg = x.astype(_BF16)
@@ -561,17 +648,28 @@ def fused_transformer_block(
         xg = jnp.transpose(xg.reshape(b2, g, h, w, c), (0, 2, 3, 1, 4)).reshape(
             b2, h, w, cg
         )
-    # Row blocks of th rows; halo windows are assembled in-kernel from the
-    # prev/cur/next blocks (clamped at the edges, garbage rows masked) —
-    # materialising nt overlapping windows cost an extra ~3x HBM round trip
-    # of x and made full-resolution graphs explode at compile time. W-tiles
-    # (nw is small) are stacked host-side with their 4 halo columns.
-    xpad = jnp.pad(xg, ((0, 0), (0, hp - h), (2, 2 + wpad - w), (0, 0)))
+    if use_dma:
+        # H is padded by 2 top + 2+ bottom so the kernels' overlapping
+        # (th+4)-row DMA windows (window i = rows [i*th, i*th+th+4)) are
+        # static-size, always in-bounds, and carry exact ZEROS outside the
+        # real image (no clamped-garbage halos to mask). Materialising nt
+        # overlapping windows in HBM instead cost an extra ~3x round trip of
+        # x and made full-resolution graphs explode at compile time; the
+        # in-kernel double-buffered DMA fetches each row once. W-tiles (nw
+        # is small) are stacked host-side with their halo columns.
+        xpad = jnp.pad(
+            xg, ((0, 0), (2, 2 + hp - h), (2, 2 + wpad - w + extra), (0, 0))
+        )
+    else:
+        # v3 blocked layout: row blocks of th rows; halo windows are
+        # assembled in-kernel from the prev/cur/next blocks (clamped at the
+        # edges, garbage rows masked).
+        xpad = jnp.pad(xg, ((0, 0), (0, hp - h), (2, 2 + wpad - w), (0, 0)))
     if nw == 1:
-        xw = xpad[:, None]  # [B2, 1, hp, Wp4, Cg]
+        xw = xpad[:, None]  # [B2, 1, hp(+4), Wp, Cg]
     else:
         xw = jnp.stack(
-            [xpad[:, :, jj * tw : jj * tw + tw + 4] for jj in range(nw)], axis=1
+            [xpad[:, :, jj * tw : jj * tw + wp] for jj in range(nw)], axis=1
         )
     hw = jnp.asarray([h, w if g_sp == 1 else w_img], jnp.int32)
 
@@ -615,29 +713,44 @@ def fused_transformer_block(
     tile_dw = lambda k: jnp.tile(k, (1, 1, g))
     msum = _block_diag(jnp.full((c, c), 1.0, _F32), g)
 
-    blk = lambda f: pl.BlockSpec(
-        (1, 1, th, wp, cg),
-        lambda bb, j, i, *_: (bb, j, f(i), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    win_specs = [
-        blk(lambda i: jnp.maximum(i - 1, 0)),
-        blk(lambda i: i),
-        blk(lambda i: jnp.minimum(i + 1, nt - 1)),
-    ]
+    if use_dma:
+        # The padded input stays in HBM; each kernel DMAs its own
+        # overlapping windows (_dma_window). Slot chaining requires strictly
+        # sequential grid iteration on every dim.
+        win_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        win_scratch = [
+            pltpu.VMEM((2, r, wp, cg), _BF16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        gram_sem = ("arbitrary", "arbitrary", "arbitrary")
+        apply_sem = ("arbitrary", "arbitrary", "arbitrary")
+    else:
+        blk = lambda f: pl.BlockSpec(
+            (1, 1, th, wp, cg),
+            lambda bb, j, i, *_: (bb, j, f(i), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        win_specs = [
+            blk(lambda i: jnp.maximum(i - 1, 0)),
+            blk(lambda i: i),
+            blk(lambda i: jnp.minimum(i + 1, nt - 1)),
+        ]
+        win_scratch = []
+        gram_sem = ("parallel", "arbitrary", "arbitrary")
+        apply_sem = ("parallel", "parallel", "parallel")
 
     cpar = lambda sem: pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024, dimension_semantics=sem
     )
-    gram_sem = ("parallel", "arbitrary", "arbitrary")
 
     def run_gram():
         if merged:
             # [q | k] halves in the lane dim: one matmul, one depthwise
             # pass, one bias/mask chain (_gram_kernel_merged docstring).
             return pl.pallas_call(
-                functools.partial(_gram_kernel_merged, th=th, tw=tw, c_img=c,
-                                  g_sp=g_sp, w_seg=w_seg, ln_bf16=ln_bf16),
+                functools.partial(_gram_kernel_merged, th=th, tw=tw, nw=nw,
+                                  nt=nt, c_img=c, g_sp=g_sp, w_seg=w_seg,
+                                  ln_bf16=ln_bf16),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=1,
                     grid=(b2, nw, nt),
@@ -651,6 +764,7 @@ def fused_transformer_block(
                         pl.BlockSpec((1, cg, cg), lambda bb, j, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
                         pl.BlockSpec((1, 1, 2 * cg), lambda bb, j, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
                     ],
+                    scratch_shapes=win_scratch,
                 ),
                 out_shape=[
                     jax.ShapeDtypeStruct((b2, cg, cg), _F32),
@@ -659,7 +773,7 @@ def fused_transformer_block(
                 compiler_params=cpar(gram_sem),
                 interpret=interpret,
             )(
-                hw, xw, xw, xw, msum,
+                hw, xw, msum,
                 jnp.concatenate([bd(wq_f), bd(wk_f)], axis=1),
                 jnp.concatenate([tile_v(bq_f), tile_v(bk_f)], axis=1),
                 jnp.concatenate(
@@ -669,9 +783,11 @@ def fused_transformer_block(
                     [tile_v(bdw[:c]), tile_v(bdw[c : 2 * c])], axis=1
                 ),
             )
+        # Split q/k path: only reached when cg % 128 != 0, i.e. use_dma is
+        # False (see _gram_kernel docstring) — blocked specs, no scratch.
         gram, qss, kss = pl.pallas_call(
-            functools.partial(_gram_kernel, th=th, tw=tw, c_img=c, g_sp=g_sp,
-                              w_seg=w_seg, ln_bf16=ln_bf16),
+            functools.partial(_gram_kernel, th=th, tw=tw,
+                              c_img=c, g_sp=g_sp, w_seg=w_seg, ln_bf16=ln_bf16),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b2, nw, nt),
@@ -752,9 +868,10 @@ def fused_transformer_block(
         apply = apply_img
 
     out = pl.pallas_call(
-        functools.partial(_apply_ffn_kernel, th=th, tw=tw, c_img=c,
-                          ch_img=ch_hidden, g_sp=g_sp, w_seg=w_seg,
-                          ln_bf16=ln_bf16, gelu_bf16=gelu_bf16),
+        functools.partial(_apply_ffn_kernel, th=th, tw=tw, nw=nw, nt=nt,
+                          c_img=c, ch_img=ch_hidden, g_sp=g_sp, w_seg=w_seg,
+                          ln_bf16=ln_bf16, gelu_bf16=gelu_bf16,
+                          use_dma=use_dma),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),
@@ -772,12 +889,13 @@ def fused_transformer_block(
             out_specs=pl.BlockSpec(
                 (1, th, tw, cg), lambda bb, j, i, *_: (bb, i, j, 0), memory_space=pltpu.VMEM
             ),
+            scratch_shapes=win_scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((b2, hp, wpad, cg), dtype_in),
-        compiler_params=cpar(("parallel", "parallel", "parallel")),
+        compiler_params=cpar(apply_sem),
         interpret=interpret,
     )(
-        hw, xw, xw, xw, msum, apply,
+        hw, *((xw,) if use_dma else (xw, xw, xw)), msum, apply,
         bd(wv_f), tile_v(bv_f),
         tile_dw(wdw[:, :, 2 * c :]), tile_v(bdw[2 * c :]),
         tile_v(bproj),

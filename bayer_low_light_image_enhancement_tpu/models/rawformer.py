@@ -58,7 +58,9 @@ class RawFormer(nn.Module):
     config: RawFormerConfig = RawFormerConfig()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, prepacked: bool = False
+    ) -> jnp.ndarray:
         cfg = self.config
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype, spatial_axis=cfg.spatial_axis)
 
@@ -67,10 +69,18 @@ class RawFormer(nn.Module):
                 num_heads=dim_heads, ffn_expansion=cfg.ffn_expansion, name=name, **kw
             )
 
-        if cfg.clamp_io:
-            x = jnp.clip(x, 0.0, 1.0)
-        x = x.astype(cfg.dtype)
-        x = space_to_depth(x, 2)
+        if prepacked:
+            # Input is the already clamped + packed [B, H/2, W/2, 4] planes
+            # from kernels/bayer_pack.bayer_pack_normalize(clamp01=True,
+            # out_dtype=cfg.dtype) — the fused device-side input path. The
+            # param tree is unchanged; only the (clip, space_to_depth)
+            # prologue is skipped.
+            x = x.astype(cfg.dtype)
+        else:
+            if cfg.clamp_io:
+                x = jnp.clip(x, 0.0, 1.0)
+            x = x.astype(cfg.dtype)
+            x = space_to_depth(x, 2)
         x = Conv2d(cfg.dim, 3, name="embedding", **kw)(x)
 
         conv_tran1 = stage(cfg.num_heads[0], "conv_tran1")(x)

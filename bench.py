@@ -75,6 +75,13 @@ except ValueError:
 if BATCH < 1:
     raise SystemExit("BENCH_BATCH must be >= 1")
 H, W, STEPS = 512, 512, 50
+# BENCH_INPUT: "u16" (default) feeds the production input path — uint16
+# mosaic + per-image ratio through the fused Bayer pack kernel emitting
+# bf16 straight into the embedding conv (kernels/bayer_pack.py). "f32"
+# feeds the pre-normalised float path (the pre-round-3 protocol) for A/B.
+INPUT = os.environ.get("BENCH_INPUT", "u16")
+if INPUT not in ("u16", "f32"):
+    raise SystemExit("BENCH_INPUT must be 'u16' or 'f32'")
 
 
 def build_bench(fused: bool, compile_only: bool = False):
@@ -103,21 +110,64 @@ def build_bench(fused: bool, compile_only: bool = False):
     # lax.scan with a carried data dependency forces sequential execution
     # of STEPS forwards inside ONE dispatch; wall time / steps is honest
     # up to a single dispatch overhead.
-    @jax.jit
-    def run_n(params, x):
-        def body(carry, _):
-            y = apply_fn(params, carry)
-            # Feed a cheap function of the output back in to serialise steps.
-            nxt = x + jnp.mean(y, axis=-1, keepdims=True) * 1e-6
-            return nxt, ()
+    if INPUT == "u16":
+        # Production input path: uint16 mosaic + ratio -> fused pack kernel
+        # (bf16 out, clamp folded) -> prepacked forward. The pack runs as a
+        # Pallas kernel on the fused path and as the XLA-fallback pack
+        # otherwise (both inside the warm-compile gate).
+        from bayer_low_light_image_enhancement_tpu.kernels.bayer_pack import (
+            bayer_pack_normalize,
+            bayer_pack_normalize_xla,
+        )
 
-        final, _ = jax.lax.scan(body, x, None, length=STEPS)
-        return jnp.sum(final)
+        mosaic = jnp.asarray(
+            rng.integers(0, 17000, (BATCH, H, W)).astype(np.uint16)
+        )
+        ratio = jnp.asarray(np.full((BATCH,), 300.0, np.float32))
+
+        if fused:
+            def pack(m, r):
+                return bayer_pack_normalize(
+                    m, r, out_dtype=jnp.bfloat16, clamp01=True
+                )
+        else:
+            def pack(m, r):
+                x4 = bayer_pack_normalize_xla(m, r, out_dtype=jnp.float32)
+                return jnp.clip(x4, 0.0, 1.0).astype(jnp.bfloat16)
+
+        @jax.jit
+        def run_n(params, mosaic, ratio):
+            # Pack INSIDE the scan body so every step pays the production
+            # ingest cost (uint16 mosaic read + pack + forward); the ratio
+            # carry serialises steps through the output.
+            def body(carry_ratio, _):
+                x4 = pack(mosaic, carry_ratio)
+                y = apply_fn(params, x4, prepacked=True)
+                nxt = carry_ratio + jnp.mean(y).astype(jnp.float32) * 1e-6
+                return nxt, ()
+
+            final, _ = jax.lax.scan(body, ratio, None, length=STEPS)
+            return jnp.sum(final)
+
+        args = (params, mosaic, ratio)
+    else:
+        @jax.jit
+        def run_n(params, x):
+            def body(carry, _):
+                y = apply_fn(params, carry)
+                # Feed a cheap function of the output back to serialise steps.
+                nxt = x + jnp.mean(y, axis=-1, keepdims=True) * 1e-6
+                return nxt, ()
+
+            final, _ = jax.lax.scan(body, x, None, length=STEPS)
+            return jnp.sum(final)
+
+        args = (params, x)
 
     if compile_only:
-        run_n.lower(params, x).compile()
+        run_n.lower(*args).compile()
         return None
-    return run_n, params, x, model
+    return run_n, args, model
 
 
 def main():
@@ -135,22 +185,24 @@ def main():
             "falling back to plain XLA path",
             file=sys.stderr,
         )
-    run_n, params, x, model = build_bench(fused=use_fused)
+    run_n, args, model = build_bench(fused=use_fused)
     batch, h, w, steps = BATCH, H, W, STEPS
 
     # FLOP count from XLA's own cost analysis (fp32 lowering of one image).
     try:
-        cost = jax.jit(model.apply).lower(params, x[:1]).compile().cost_analysis()
+        params = args[0]
+        x1 = jnp.zeros((1, H, W, 1), jnp.float32)
+        cost = jax.jit(model.apply).lower(params, x1).compile().cost_analysis()
         flops_per_image = float(cost.get("flops", 0.0))
     except Exception:
         flops_per_image = 0.0
 
-    float(run_n(params, x))  # warmup/compile (cache-hot after the gate)
+    float(run_n(*args))  # warmup/compile (cache-hot after the gate)
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        s = float(run_n(params, x))
+        s = float(run_n(*args))
     dt = (time.perf_counter() - t0) / reps
 
     mp = batch * h * w / 1e6
@@ -162,7 +214,7 @@ def main():
 
     print(
         f"[bench] {mps:.2f} MP/s/chip, {dt / steps * 1e3:.2f} ms/step "
-        f"(batch {batch} @ {h}x{w}), flops/img={flops_per_image:.3e}, "
+        f"(batch {batch} @ {h}x{w}, input={INPUT}), flops/img={flops_per_image:.3e}, "
         f"assumed A100 ref={a100_mps:.1f} MP/s, target(5x)={target:.1f} MP/s",
         file=sys.stderr,
     )
@@ -177,6 +229,7 @@ def main():
                 "h": h,
                 "w": w,
                 "steps": steps,
+                "input": INPUT,
             }
         )
     )

@@ -48,3 +48,49 @@ class TestBayerPackKernel:
         )
         assert out.min() >= 0.0
         assert out.max() <= 1.0 + 1e-6
+
+    def test_clamp01_folds_model_input_clamp(self):
+        # ratio 300 pushes many codes past 1.0; clamp01 must reproduce the
+        # model's own input clamp (reference model.py:475).
+        mosaic = RNG.integers(0, 17000, (1, 16, 16), dtype=np.uint16)
+        ratio = np.array([300.0], np.float32)
+        clamped = np.asarray(
+            bayer_pack_normalize(jnp.asarray(mosaic), jnp.asarray(ratio), clamp01=True)
+        )
+        plain = np.asarray(
+            bayer_pack_normalize(jnp.asarray(mosaic), jnp.asarray(ratio))
+        )
+        assert plain.max() > 1.0  # the clamp actually bites on this input
+        np.testing.assert_allclose(clamped, np.clip(plain, 0.0, 1.0), rtol=1e-6)
+
+    def test_raw_u16_forward_matches_f32_path(self):
+        """u16 mosaic -> bf16 pack -> prepacked model == the fp32 input path
+        (clip + space_to_depth inside the model), to bf16 tolerance."""
+        import jax
+
+        from bayer_low_light_image_enhancement_tpu.kernels.bayer_pack import (
+            make_raw_u16_forward,
+        )
+        from bayer_low_light_image_enhancement_tpu.models.rawformer import (
+            RawFormer,
+            RawFormerConfig,
+        )
+
+        mosaic = RNG.integers(0, 17000, (1, 32, 32), dtype=np.uint16)
+        ratio = np.array([300.0], np.float32)
+        model = RawFormer(RawFormerConfig(dim=8, num_heads=(2, 2, 2, 2)))
+        x_f32 = np.asarray(
+            bayer_pack_normalize_xla(jnp.asarray(mosaic), jnp.asarray(ratio))
+        )
+        # The fp32 path feeds the unpacked [B,H,W,1] raw (model packs it).
+        from bayer_low_light_image_enhancement_tpu.ops.shuffle import depth_to_space
+
+        x_raw = depth_to_space(jnp.asarray(x_f32), 2)
+        variables = model.init(jax.random.PRNGKey(0), x_raw)
+        expected = model.apply(variables, x_raw)
+
+        fwd = make_raw_u16_forward(model.apply, dtype=jnp.bfloat16)
+        got = fwd(variables, jnp.asarray(mosaic), jnp.asarray(ratio))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=0.05, atol=2e-2
+        )
