@@ -73,6 +73,17 @@ def _packed_tail_default() -> bool:
     return os.environ.get("BAYER_TPU_PACKED_TAIL", "1") == "1"
 
 
+def _pack_factor(c: int) -> Optional[int]:
+    """W-phase pack factor filling the 128 lanes exactly: f=4 at C=32,
+    f=2 at C=64 (measured win at full-res level-2 geometry; crops A/B in
+    BENCHMARKS.md round 3). None = keep the dense XLA conv."""
+    if c == 32:
+        return 4
+    if c == 64 and os.environ.get("BAYER_TPU_PACK64", "1") == "1":
+        return 2
+    return None
+
+
 def _should_pack_conv(module: nn.Module, args) -> bool:
     return (
         isinstance(module, Conv2d)
@@ -92,32 +103,41 @@ def _should_pack_conv(module: nn.Module, args) -> bool:
     )
 
 
-def _should_pack_down(module: nn.Module, args) -> bool:
-    return (
+def _should_pack_down(module: nn.Module, args) -> Optional[int]:
+    """Returns the pack factor (4 at C=32, 2 at C=64) or None."""
+    if not (
         isinstance(module, Downsample)
         and module.spatial_axis is None
         and bool(args)
         and getattr(args[0], "ndim", 0) == 4
-        and args[0].shape[-1] * 4 == 128     # C=32: the lane-starved level
         and args[0].shape[1] % 2 == 0
-        and wpack_ops.conv_fusable(args[0], 4)
-    )
+    ):
+        return None
+    f = _pack_factor(args[0].shape[-1])
+    if f is not None and wpack_ops.conv_fusable(args[0], f):
+        return f
+    return None
 
 
-def _should_pack_tail(module: nn.Module, args) -> bool:
+def _should_pack_tail(module: nn.Module, args) -> Optional[int]:
     """W-phase-packed stage tail (ops/wpack.py): rewrite the ConvTransformer
     conv-branch + reduce + conv_out in the free-reshape packed layout where
-    the dense convs are lane-starved (C=32 -> 4x128 lanes). Gated to the
-    canonical (inner=None) unsharded stage; the transformer branch must be
-    kernel-fusable too so the whole stage leaves the XLA slow path."""
-    return (
+    the dense convs are lane-starved (C=32 -> 4x128 lanes, C=64 -> 2x128).
+    Gated to the canonical (inner=None) unsharded stage; the transformer
+    branch must be kernel-fusable too so the whole stage leaves the XLA
+    slow path. Returns the pack factor or None."""
+    if not (
         isinstance(module, ConvTransformer)
         and module.inner is None
         and module.spatial_axis is None
         and bool(args)
         and getattr(args[0], "ndim", 0) == 4
-        and wpack_ops.tail_fusable(args[0], 4)
-    )
+    ):
+        return None
+    f = _pack_factor(args[0].shape[-1])
+    if f is not None and wpack_ops.tail_fusable(args[0], f):
+        return f
+    return None
 
 
 def _should_fuse_stage(module: nn.Module, args, kwargs) -> bool:
@@ -176,15 +196,13 @@ def fused_apply(
                 p = module.variables["params"]
                 x = iargs[0].astype(module.dtype)
                 return wpack_ops.packed_conv(x, p["kernel"], p.get("bias"), f=4)
-            if packed_tail and _should_pack_down(module, iargs):
+            fd = _should_pack_down(module, iargs) if packed_tail else None
+            if fd is not None:
                 p = module.variables["params"]
                 x = iargs[0].astype(module.dtype)
-                return wpack_ops.packed_downsample(x, p["conv"]["kernel"], f=4)
-            if (
-                packed_tail
-                and _should_pack_tail(module, iargs)
-                and _fusable(module, iargs)
-            ):
+                return wpack_ops.packed_downsample(x, p["conv"]["kernel"], f=fd)
+            ft = _should_pack_tail(module, iargs) if packed_tail else None
+            if ft is not None and _fusable(module, iargs):
                 from bayer_low_light_image_enhancement_tpu.kernels.fused_block_bwd import (
                     fused_transformer_block_train,
                     trainable_fusable,
@@ -196,7 +214,7 @@ def fused_apply(
                     t = fused_transformer_block_train(
                         x, params["transformer"], module.num_heads
                     )
-                    return wpack_ops.packed_stage_tail(x, t, params, f=4)
+                    return wpack_ops.packed_stage_tail(x, t, params, f=ft)
             if _should_fuse(module, iargs, ikwargs):
                 from bayer_low_light_image_enhancement_tpu.kernels.fused_block_bwd import (
                     fused_transformer_block_train,
@@ -213,21 +231,19 @@ def fused_apply(
             p = module.variables["params"]
             x = iargs[0].astype(module.dtype)
             return wpack_ops.packed_conv(x, p["kernel"], p.get("bias"), f=4)
-        if packed_tail and _should_pack_down(module, iargs):
+        fd = _should_pack_down(module, iargs) if packed_tail else None
+        if fd is not None:
             p = module.variables["params"]
             x = iargs[0].astype(module.dtype)
-            return wpack_ops.packed_downsample(x, p["conv"]["kernel"], f=4)
-        if (
-            packed_tail
-            and _should_pack_tail(module, iargs)
-            and _fusable(module, iargs)
-        ):
+            return wpack_ops.packed_downsample(x, p["conv"]["kernel"], f=fd)
+        ft = _should_pack_tail(module, iargs) if packed_tail else None
+        if ft is not None and _fusable(module, iargs):
             params = module.variables["params"]
             x = iargs[0].astype(module.dtype)
             t = fused_transformer_block(
                 x, params["transformer"], module.num_heads, **kw
             )
-            return wpack_ops.packed_stage_tail(x, t, params, f=4)
+            return wpack_ops.packed_stage_tail(x, t, params, f=ft)
         if _should_fuse_stage(module, iargs, ikwargs):
             params = module.variables["params"]
             x = iargs[0]

@@ -150,16 +150,21 @@ def packed_downsample(x: jnp.ndarray, kernel: jnp.ndarray, f: int = 4) -> jnp.nd
     The trailing space_to_depth is itself a relayout, so fusing the packed
     conv's phase-regrouping INTO it costs nothing extra: the packed conv
     output lane index is (pj, c) with pj the W phase; splitting pj into
-    (w2, dj) and merging rows pairwise produces torch PixelUnshuffle order
-    (c*4 + di*2 + dj) in one transpose — the same single copy the dense
-    path's space_to_depth already paid."""
-    assert f == 4, "phase split below assumes f=4 (pj = 2*w2 + dj)"
+    (w2, dj) (f=4) — or using it directly as dj (f=2) — and merging rows
+    pairwise produces torch PixelUnshuffle order (c*4 + di*2 + dj) in one
+    transpose — the same single copy the dense path's space_to_depth
+    already paid."""
+    assert f in (2, 4), f
     yp = _conv(wpack(x, f), pack_conv3_kernel(kernel, f), None)
     b, h, wq, lanes = yp.shape
     c2 = lanes // f
-    y = yp.reshape(b, h // 2, 2, wq, 2, 2, c2)     # b, i, di, wq, w2, dj, c
-    y = jnp.transpose(y, (0, 1, 3, 4, 6, 2, 5))    # b, i, wq, w2, c, di, dj
-    return y.reshape(b, h // 2, wq * 2, c2 * 4)
+    if f == 4:
+        y = yp.reshape(b, h // 2, 2, wq, 2, 2, c2)   # b, i, di, wq, w2, dj, c
+        y = jnp.transpose(y, (0, 1, 3, 4, 6, 2, 5))  # b, i, wq, w2, c, di, dj
+        return y.reshape(b, h // 2, wq * 2, c2 * 4)
+    y = yp.reshape(b, h // 2, 2, wq, 2, c2)          # b, i, di, wq, dj, c
+    y = jnp.transpose(y, (0, 1, 3, 5, 2, 4))         # b, i, wq, c, di, dj
+    return y.reshape(b, h // 2, wq, c2 * 4)
 
 
 def packed_stage_tail(
