@@ -24,9 +24,9 @@ convs, q/k produced by ONE merged [Cg, 2Cg] matmul + one depthwise pass when
 the halves tile-align (cg % 128 == 0), bf16 GELU via a sign-free erf form,
 depthwise column alignment rolls moved onto the bf16 input, grid dimension
 semantics declared to Mosaic, and the round-2 `chunked` sub-matmul
-experiment retired (0.87x, see BENCHMARKS.md). v2 design — supersedes
-kernels/fused_attention.py, whose measured failure modes are documented in
-its docstring):
+experiment retired (0.87x, see BENCHMARKS.md). v2 design — supersedes the
+retired v1 (attic/fused_attention.py), whose measured failure modes are
+documented in its docstring):
 
   * TWO simple pipelined kernels over overlapping H-tile windows, with the
     tiny [C,C] attention finalise (normalise, temperature, per-head softmax,

@@ -28,9 +28,6 @@ from bayer_low_light_image_enhancement_tpu.kernels.fused_block import (
     fused_transformer_block,
 )
 from bayer_low_light_image_enhancement_tpu.ops import wpack as wpack_ops
-from bayer_low_light_image_enhancement_tpu.kernels.fused_stage import (
-    fused_stage_tail,
-)
 from bayer_low_light_image_enhancement_tpu.models.common import (
     Conv2d,
     ConvTransformer,
@@ -140,18 +137,11 @@ def _should_pack_tail(module: nn.Module, args) -> Optional[int]:
     return None
 
 
-def _should_fuse_stage(module: nn.Module, args, kwargs) -> bool:
-    """Whole-stage fusion (kernels/fused_stage.py) measured a LOSS on chip
-    and stays disabled: at [8,256,256,32] the Pallas tail runs 3.33 ms vs
-    ~1.85 ms for XLA's tail overlapped into the stage — the full 3x3 convs
-    become 18 dense block-diagonal [gC, gC] tap-matmuls whose 8x zero-block
-    FLOP waste is MXU-bound, unlike the TransformerBlock whose cost is
-    traffic/occupancy. Kept for the record; see BENCHMARKS.md."""
-    return False and (
-        isinstance(module, ConvTransformer)
-        and module.inner is None
-        and _fusable(module, args)
-    )
+# Whole-stage fusion (formerly kernels/fused_stage.py, now attic/) measured
+# a LOSS on chip and was retired: at [8,256,256,32] the Pallas tail ran
+# 3.33 ms vs ~1.85 ms for XLA's tail overlapped into the stage — full 3x3
+# convs become 18 dense block-diagonal [gC, gC] tap-matmuls whose 8x
+# zero-block FLOP waste is MXU-bound. Writeup in BENCHMARKS.md.
 
 
 def fused_apply(
@@ -173,10 +163,11 @@ def fused_apply(
     truth (and tighter than XLA's own bf16 autodiff on the cancelling bias
     sums). Blocks outside the trainable geometry (see fused_block_bwd
     docstring) keep the plain XLA path.
-    ``packed_tail``: also rewrite the C=32 ConvTransformer tails and the
-    named lane-starved convs/downsample in the W-phase-packed layout
-    (ops/wpack.py), in both inference and training. Defaults to the
-    ``BAYER_TPU_PACKED_TAIL`` env var (on).
+    ``packed_tail``: also rewrite the lane-starved ConvTransformer tails
+    and named convs/downsamples in the W-phase-packed layout (ops/wpack.py)
+    — C=32 at f=4, and C=64 at f=2 (the latter gated by the
+    ``BAYER_TPU_PACK64`` env var) — in both inference and training.
+    Defaults to the ``BAYER_TPU_PACKED_TAIL`` env var (on).
     Falls back to the plain path automatically for spatially-sharded blocks.
     """
     kw = {} if tile_rows is None else {"tile_rows": tile_rows}
@@ -244,13 +235,6 @@ def fused_apply(
                 x, params["transformer"], module.num_heads, **kw
             )
             return wpack_ops.packed_stage_tail(x, t, params, f=ft)
-        if _should_fuse_stage(module, iargs, ikwargs):
-            params = module.variables["params"]
-            x = iargs[0]
-            t = fused_transformer_block(
-                x, params["transformer"], module.num_heads, **kw
-            )
-            return fused_stage_tail(x, t, params, **kw)
         if _should_fuse(module, iargs, ikwargs):
             params = module.variables["params"]
             return fused_transformer_block(

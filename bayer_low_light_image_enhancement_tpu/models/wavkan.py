@@ -164,6 +164,12 @@ class WavKANConfig:
     num_heads: Tuple[int, int, int, int] = (8, 16, 32, 32)
     ffn_expansion: int = 2
     wavelet_type: str = "mexican_hat"
+    # Reproduce the reference decoder's head schedule, which passes CHANNEL
+    # counts as head counts (``kan_model.py:203-205``: dim*4 / dim*2 / dim
+    # heads at dims dim*8 / dim*4 / dim*2). Default False keeps the encoder
+    # schedule (SURVEY.md §7 deviation); True is required to round-trip a
+    # reference ``.pth`` checkpoint (temperature shapes follow heads).
+    ref_decoder_heads: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     # H mesh axis for spatially-sharded inference: channel attention psums
@@ -203,10 +209,15 @@ class WavKANRawFormer(nn.Module):
         x = stage(cfg.num_heads[3], "bottleneck")(x, train)
 
         up_out = (cfg.dim * 4, cfg.dim * 2, cfg.dim)
+        dec_heads = (
+            (cfg.dim * 4, cfg.dim * 2, cfg.dim)
+            if cfg.ref_decoder_heads
+            else (cfg.num_heads[2], cfg.num_heads[1], cfg.num_heads[0])
+        )
         for i in range(3):
             x = Upsample2x(up_out[i], name=f"up{i}", **kw)(x)
             x = jnp.concatenate([x, features[-(i + 1)]], axis=-1)
-            x = stage(cfg.num_heads[2 - i], f"dec{i}")(x, train)
+            x = stage(dec_heads[i], f"dec{i}")(x, train)
 
         out = leaky_relu(Conv2d(cfg.out_ch * 4, 3, name="out_conv",
                                 spatial_axis=cfg.spatial_axis, **kw)(x), 0.2)

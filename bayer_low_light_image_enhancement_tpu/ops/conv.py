@@ -88,15 +88,15 @@ def conv2d(
     spatial_axis: Optional[str] = None,
     dilation: int = 1,
 ) -> jnp.ndarray:
-    """2D conv, NHWC x HWIO -> NHWC, SAME padding.
+    """2D conv, NHWC x HWIO -> NHWC, torch ``padding=(eff_k-1)//2`` semantics
+    (symmetric zero pad; identical to XLA SAME at stride 1 for the odd
+    kernels used throughout, and matching torch — not SAME's asymmetric
+    (0, 1) split — for strided convs). ``eff_k = dilation*(k-1)+1``.
 
-    ``spatial_axis`` switches on halo exchange for sharded execution. The
-    sharded form matches XLA's SAME padding exactly for any stride/dilation
-    whose local extent divides the stride: SAME distributes ``eff_k -
-    stride`` pad rows as (total//2, total - total//2); we exchange the full
-    ``(eff_k-1)//2`` halo, then trim it down to that asymmetric split
-    (global-edge halos arrive as ppermute zeros == the SAME zeros), and run
-    VALID. ``eff_k = dilation*(k-1)+1``.
+    ``spatial_axis`` switches on halo exchange for sharded execution: we
+    exchange the full ``(eff_k-1)//2`` halo, trim it to the (pt, pb) rows the
+    local outputs actually consume (global-edge halos arrive as ppermute
+    zeros == the pad zeros), and run VALID.
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
     eff_kh = dilation * (kh - 1) + 1
@@ -119,10 +119,13 @@ def conv2d(
                 f"sharded conv needs local extent {size} divisible by "
                 f"stride {stride}"
             )
-        total = max(eff_k - stride, 0)
-        pt, pb = total // 2, total - total // 2
+        # torch padding=(eff_k-1)//2 semantics (see conv2d docstring): output
+        # o consumes rows [o*s - pt, o*s - pt + eff_k); the last local output
+        # extends pb = eff_k - stride - pt rows past the shard (negative pb
+        # trims unused bottom rows).
+        pt = (eff_k - 1) // 2
+        pb = eff_k - stride - pt
         x = halo_pad(x, halo, ax, dim=dim)
-        # Trim the symmetric halo to SAME's asymmetric (pt, pb) split.
         x = lax.slice_in_dim(x, halo - pt, halo + size + pb, axis=dim)
         return x, (0, 0)
 
@@ -134,17 +137,21 @@ def conv2d(
         if w_ax is not None:
             x, pad_w = _shard_axis(x, 2, w_ax, eff_kw)
 
-        def same_pad(eff_k, size):
-            total = max((-(-size // stride) - 1) * stride + eff_k - size, 0)
-            return (total // 2, total - total // 2)
-
         if pad_h is None:
-            pad_h = same_pad(eff_kh, x.shape[1])
+            pad_h = ((eff_kh - 1) // 2,) * 2
         if pad_w is None:
-            pad_w = same_pad(eff_kw, x.shape[2])
+            pad_w = ((eff_kw - 1) // 2,) * 2
         padding = (pad_h, pad_w)
-    else:
+    elif stride == 1:
+        # SAME == torch's symmetric padding=(eff_k-1)//2 for the odd kernels
+        # used throughout.
         padding = "SAME"
+    else:
+        # Strided convs: XLA SAME splits the (eff_k - stride) pad as
+        # (total//2 floor, ceil) = (0, 1) for k=3/s=2, while torch
+        # Conv2d(padding=1) pads symmetrically — a one-pixel tap shift.
+        # Use torch semantics (reference parity); output sizes agree.
+        padding = (((eff_kh - 1) // 2,) * 2, ((eff_kw - 1) // 2,) * 2)
     # Output dtype == operand dtype: the MXU accumulates bf16 convs in fp32
     # internally, and keeping the primitive homogeneous keeps its transpose
     # (backward) rule homogeneous too.

@@ -105,10 +105,13 @@ def _leaky(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
 def tail_fusable(x: jnp.ndarray, f: int) -> bool:
     """Geometry gate for :func:`packed_stage_tail`.
 
-    Measured on v5e (BENCHMARKS.md): the packed tail wins at C=32/f=4
-    (frees the 3/4-idle lanes) and loses at C>=64 (the f x FLOP waste turns
-    the conv MXU-bound, the same failure mode as the lane-packed
-    fused_stage kernel). W must split evenly into phases.
+    Measured on v5e (BENCHMARKS.md): the packed tail wins whenever the
+    packed channel count fills exactly the 128 lanes — C=32/f=4 (round 2)
+    and C=64/f=2 (round 3, callers gate the latter via BAYER_TPU_PACK64).
+    Beyond 128 packed channels the f x FLOP waste turns the conv MXU-bound
+    and loses (the same failure mode as the retired lane-packed whole-stage
+    kernel, attic/fused_stage.py). The caller picks ``f`` per channel
+    count; W must split evenly into phases.
     """
     if x.ndim != 4:
         return False

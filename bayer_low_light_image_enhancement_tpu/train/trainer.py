@@ -206,13 +206,23 @@ class Trainer:
                 return self.loss_fn(pred, gt), mut
 
             (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            if self.cfg.nan_guard:
-                ok = jnp.isfinite(loss)
-                grads = jax.tree.map(
-                    lambda g: jnp.where(ok & jnp.all(jnp.isfinite(g)), g, 0.0), grads
-                )
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if self.cfg.nan_guard:
+                # Reference batch-skip semantics (RawFomer_WFB_FFAB/
+                # train.py:165-182): a non-finite loss OR any non-finite grad
+                # leaf skips the WHOLE batch — params, Adam moments, and the
+                # optimizer step count all stay exactly as they were; only the
+                # (reported) loss comes from the bad batch.
+                ok = jnp.isfinite(loss)
+                for g in jax.tree.leaves(grads):
+                    ok = ok & jnp.all(jnp.isfinite(g))
+                new_params = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_params, state.params
+                )
+                new_opt = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_opt, state.opt_state
+                )
             return (
                 state.replace(
                     step=state.step + 1,

@@ -34,6 +34,17 @@ class MetricsLogger:
 
                 self._tb = tf.summary.create_file_writer(tensorboard_dir)
             except Exception:
+                # Requested TB but can't deliver it — say so once instead of
+                # silently producing an empty run directory.
+                import warnings
+
+                warnings.warn(
+                    "tensorboard_dir=%r requested but TensorFlow is not "
+                    "importable; TensorBoard logging is disabled (text/CSV "
+                    "logging unaffected)." % tensorboard_dir,
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 self._tb = None
 
     def log_epoch(

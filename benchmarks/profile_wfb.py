@@ -59,7 +59,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--dim", type=int, default=48)
-    p.add_argument("--ssm_pallas", action="store_true", default=True)
+    p.add_argument("--ssm_pallas", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--full", action="store_true", help="also time the full model")
     args = p.parse_args()
 
@@ -87,7 +87,7 @@ def main():
             ("  FFAB", FFAB(dtype=dt), ll),
             ("  FEB(one)", FEB(dtype=dt), ll),
             ("  Illu", IlluminationEstimator(c, c, dtype=dt), ll),
-            ("  WM(ssm)", WM(dtype=dt, ssm_pallas=True), high),
+            ("  WM(ssm)", WM(dtype=dt, ssm_pallas=args.ssm_pallas), high),
         ]:
             params = jax.jit(mod.init)(key, inp)
             if name == "  Illu":
@@ -101,7 +101,7 @@ def main():
 
     print(f"\nsum(WMB x count): {total_attr:.2f} ms", flush=True)
     if args.full:
-        cfg = RawFormerWFBConfig(dim=args.dim, dtype=dt, ssm_pallas=True)
+        cfg = RawFormerWFBConfig(dim=args.dim, dtype=dt, ssm_pallas=args.ssm_pallas)
         model = RawFormerWFB(cfg)
         xin = jax.random.normal(key, (2, 512, 512, 1), jnp.float32)
         params = jax.jit(model.init)(key, xin)

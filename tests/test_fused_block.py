@@ -86,30 +86,6 @@ def test_w_tiling_matches_whole_w():
     )
 
 
-@pytest.mark.parametrize("b,h,w,c", [(2, 24, 40, 8), (1, 16, 272, 8)])
-def test_stage_tail_matches_module(b, h, w, c):
-    """kernels/fused_stage.py parity (kernel kept as a documented negative
-    perf result — see BENCHMARKS.md; _should_fuse_stage stays disabled)."""
-    from bayer_low_light_image_enhancement_tpu.kernels.fused_stage import (
-        fused_stage_tail,
-    )
-    from bayer_low_light_image_enhancement_tpu.models.common import ConvTransformer
-
-    mod = ConvTransformer(num_heads=2, dtype=jnp.bfloat16)
-    x = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32) * 0.4)
-    v = mod.init(jax.random.PRNGKey(0), x)
-    expected = mod.apply(v, x.astype(jnp.bfloat16))
-    t = TransformerBlock(num_heads=2, dtype=jnp.bfloat16).apply(
-        {"params": v["params"]["transformer"]}, x.astype(jnp.bfloat16)
-    )
-    got = fused_stage_tail(
-        x.astype(jnp.bfloat16), t, v["params"], interpret=True
-    )
-    np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(expected, np.float32), **TOL
-    )
-
-
 def test_fused_apply_interceptor():
     """fused_apply routes every TransformerBlock through the kernel and
     matches plain apply on the full canonical model."""

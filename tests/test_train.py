@@ -167,6 +167,36 @@ class TestTrainer:
         assert per_image.shape == (2,)
         assert np.all(np.isfinite(np.asarray(per_image)))
 
+    @pytest.mark.slow
+    def test_nan_guard_skips_whole_batch(self, tiny):
+        """Reference batch-skip semantics (RawFomer_WFB_FFAB/train.py:165-182):
+        a NaN batch must leave params AND the optimizer state (moments, Adam
+        step count) exactly unchanged — not zero individual grad leaves."""
+        trainer, state, x, y = tiny
+        state = jax.tree.map(jnp.copy, state)
+        # Advance past the lr=0 epoch-0 warmup point so a good batch would
+        # visibly move the params.
+        state, _ = trainer.train_step(state, (x, y))
+        bad_x = x.at[0, 0, 0, 0].set(jnp.nan)
+        before = jax.tree.map(np.asarray, (state.params, state.opt_state))
+        new_state, loss = trainer.train_step(
+            jax.tree.map(jnp.copy, state), (bad_x, y)
+        )
+        assert not np.isfinite(float(loss))  # loss still reported from the batch
+        after = jax.tree.map(np.asarray, (new_state.params, new_state.opt_state))
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(a, b)
+        # ...and a good batch through the same compiled step still updates.
+        upd_state, loss2 = trainer.train_step(new_state, (x, y))
+        assert np.isfinite(float(loss2))
+        changed = any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(before[0]), jax.tree.leaves(upd_state.params)
+            )
+        )
+        assert changed
+
 
 class TestLoaderPipeline:
     def test_loader_batches(self):

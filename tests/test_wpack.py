@@ -47,10 +47,12 @@ class TestPackedConv:
 
 
 class TestPackedStageTail:
-    def test_tail_matches_convtransformer(self):
+    @pytest.mark.parametrize("f,c", [(4, 32), (2, 64)])
+    def test_tail_matches_convtransformer(self, f, c):
         # fp32 end-to-end: the packed tail must reproduce the module's
-        # conv-branch + concat + reduce + conv_out exactly.
-        x = jnp.asarray(rng.standard_normal((2, 8, 16, 32)) * 0.3, jnp.float32)
+        # conv-branch + concat + reduce + conv_out exactly, at both shipped
+        # geometries (C=32/f=4 and the round-3 C=64/f=2 routing).
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, c)) * 0.3, jnp.float32)
         mod = ConvTransformer(num_heads=8)
         variables = mod.init(jax.random.PRNGKey(0), x)
         y_ref = mod.apply(variables, x)
@@ -59,7 +61,7 @@ class TestPackedStageTail:
         t = TransformerBlock(num_heads=8).apply(
             {"params": params["transformer"]}, x
         )
-        y_packed = wp.packed_stage_tail(x, t, params, f=4)
+        y_packed = wp.packed_stage_tail(x, t, params, f=f)
         np.testing.assert_allclose(
             np.asarray(y_ref), np.asarray(y_packed), atol=2e-5
         )
@@ -184,12 +186,13 @@ def test_trainable_packed_stage_grad_parity():
         )
 
 
-def test_packed_downsample_parity():
+@pytest.mark.parametrize("f,c", [(4, 32), (2, 64)])
+def test_packed_downsample_parity(f, c):
     from bayer_low_light_image_enhancement_tpu.models.common import Downsample
 
-    x = jnp.asarray(rng.standard_normal((2, 8, 16, 32)) * 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, c)) * 0.3, jnp.float32)
     mod = Downsample()
     v = mod.init(jax.random.PRNGKey(0), x)
     y_ref = mod.apply(v, x)
-    y_packed = wp.packed_downsample(x, v["params"]["conv"]["kernel"], f=4)
+    y_packed = wp.packed_downsample(x, v["params"]["conv"]["kernel"], f=f)
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_packed), atol=1e-5)
