@@ -164,6 +164,25 @@ def _real_mask(i, th, hw_ref, rows, wp, row_off, col_off, col_base=0,
     return ok.astype(dtype)
 
 
+def _ln_fast(x, msum_ref, eps=1e-5):
+    """v5 LayerNorm core for the DMA path (pow2 per-image channel count).
+
+    ``msum_ref`` is the block-diagonal segment matrix PRE-SCALED by 1/c —
+    exact in bf16 because 1/c is a power of two, so the fp32-accumulated
+    MXU mean is still exact for bf16-valued inputs and the separate
+    full-tensor ``* inv_c`` fp32 passes of ``_ln_core`` disappear. The
+    subtract and the final scale run in bf16 (~half the VPU cost); the
+    rounding of mu/s to bf16 costs ~2^-9 relative — inside the model's
+    bf16 tolerance (parity-tested). Variance keeps the cancellation-free
+    centered form with fp32 MXU accumulation.
+    """
+    mu = _matmul(x, msum_ref, _F32)
+    d = x.astype(_F32) - mu
+    db = d.astype(_BF16)
+    var = _matmul(db * db, msum_ref, _F32)
+    return (d * jax.lax.rsqrt(var + eps)).astype(_BF16)
+
+
 def _gelu_exact(x):
     """Exact (erf) GELU via the Abramowitz-Stegun 7.1.26 rational erf
     approximation (max |err| 1.5e-7 — far below bf16 resolution). Mosaic has
@@ -405,6 +424,133 @@ def _gram_kernel_merged(
     qkss_ref[...] += jnp.sum(qkf * qkf, axis=(0, 1), keepdims=True)
 
 
+def _rowmask(i, th, rows, wp, h, off=-2):
+    """[rows, wp, 1] bf16 validity of row o = global row i*th + o + off
+    against the REAL image height h (a trace-time constant). Lane-broadcast
+    from 1 is the Mosaic-supported splat shape ([rows,1,1] sublane+lane
+    broadcasts fail to lower, and STRIDED SLICES of a one-lane rank-3
+    vector crash the Mosaic strided-slice rule — so each shifted row range
+    builds its own mask instead of slicing a shared one); the build is a
+    handful of ops on a one-lane tensor."""
+    g = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 0) + (i * th + off)
+    return ((g >= 0) & (g < h)).astype(_BF16)
+
+
+def _apply_ffn_kernel_v6(
+    x_ref,               # [B2, nw, hp+4, Wp, Cg] bf16 in HBM/ANY
+    msum_ref,            # (Cg, Cg) bf16 segment matrix * 1/c
+    apply_ref,           # (1, Cg, Cg) bf16 — attn^T @ Wproj, block-diag
+    wv_ref,              # (Cg, Cg) bf16 — LN1 affine folded
+    bvm_ref,             # (nw, Wp, Cg) bf16 — v bias column-masked (off -2)
+    dwv_ref, bdwv_ref,   # (3, 3, Cg) f32, (1, Cg) bf16
+    bproj_ref,           # (1, Cg) bf16
+    wp1_ref,             # (Cg, Ch) bf16 — LN2 affine folded
+    bp1m_ref,            # (nw, Wp, Ch) bf16 — FFN bias column-masked (off -1)
+    dwf_ref, bdwf_ref,   # (3, 3, Ch) f32, (1, Ch) bf16
+    wp2_ref, bp2_ref,    # (Ch, Cg), (1, Cg) bf16
+    cm1_ref,             # (nw, Wp, Cg) bf16 — column validity at offset -1
+    out_ref,             # [1, th, tw, Cg]
+    buf, sems, ybuf,
+    *,
+    th: int,
+    tw: int,
+    nw: int,
+    nt: int,
+    h: int,
+):
+    """v6 attention-apply + FFN kernel — SOFTWARE-PIPELINED phases.
+
+    Round-4 finding (BENCHMARKS.md): the monolithic apply+FFN kernel is
+    bound by its serial per-tile dependency chain — per grid step ~40us of
+    MXU matmuls and ~65us of VPU work (depthwise taps, GELU, LN pointwise)
+    execute back-to-back because every op consumes its predecessor.
+    Instruction-count cuts (v5: all-bf16 chains, cheaper LN, precomputed
+    masks) measured NEUTRAL-to-negative: bf16 elementwise is NOT faster
+    than fp32 on this VPU (Mosaic unpacks), and removing passes didn't
+    shorten the critical path.
+
+    v6 splits the block into two phases and runs, in ONE grid step's basic
+    block, tile i-1's FFN phase followed by tile i's attention phase — two
+    INDEPENDENT dataflow DAGs the Mosaic scheduler can interleave, so one
+    phase's VPU work can hide the other's MXU time. The y tensor (first
+    residual, [th+2, Wp, Cg]) carries between steps in a 2-slot VMEM
+    scratch. The grid gains one epilogue step per (bb, j) block; boundary
+    steps run on clamped/garbage inputs and their writes are overwritten.
+    On the epilogue step both phases touch the SAME y slot ((nt-1) % 2);
+    phase 2 precedes phase 1 in program order, so the read completes before
+    the clamped phase-1 recompute clobbers it.
+
+    Masked-bias inputs (column validity folded into the bias, zero-bias at
+    pad columns — the H-padded DMA input is already zero there) and
+    ``_ln_fast`` are kept from v5: neutral on time but fewer instructions
+    and exact-or-better numerics.
+    """
+    bb = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    r = th + 4
+    wp = buf.shape[2]
+
+    # ---- DMA bookkeeping (predicated off on the epilogue step i == nt).
+    total = pl.num_programs(0) * nw * nt
+
+    def _start(s):
+        sb = s // (nw * nt)
+        rem = s % (nw * nt)
+        pltpu.make_async_copy(
+            x_ref.at[sb, rem // nt, pl.ds((rem % nt) * th, th + 4)],
+            buf.at[s % 2],
+            sems.at[s % 2],
+        ).start()
+
+    wl = (bb * nw + j) * nt + i
+
+    @pl.when(i < nt)
+    def _dma():
+        @pl.when(wl == 0)
+        def _():
+            _start(0)
+
+        @pl.when(wl + 1 < total)
+        def _():
+            _start(wl + 1)
+
+        pltpu.make_async_copy(
+            x_ref.at[bb, j, pl.ds(i * th, th + 4)],
+            buf.at[wl % 2],
+            sems.at[wl % 2],
+        ).wait()
+
+    # ---- Phase 2 (tile i-1): LN2 + FFN + second residual -> out block i-1.
+    # Step 0 consumes uninitialised scratch and writes a block that step 1
+    # overwrites (the out index map clamps i-1 to 0).
+    ip = i - 1
+    y = ybuf[ip % 2]
+    yn = _ln_fast(y, msum_ref)
+    rmy2 = _rowmask(ip, th, th + 2, wp, h, -1)
+    t = (_matmul(yn, wp1_ref) + bp1m_ref[0]) * rmy2
+    f = _gelu_exact(_dw3x3(t, dwf_ref) + bdwf_ref[0])  # [th, Wp, Ch], off +2
+    f = _matmul(f, wp2_ref) + bp2_ref[0]
+    out = jnp.roll(y[1 : th + 1], -1, axis=1) + f
+    out_ref[0] = out[:, :tw].astype(out_ref.dtype)
+
+    # ---- Phase 1 (tile i, clamped to nt-1 on the epilogue step): LN1 +
+    # v branch + attention apply + first residual -> y slot ii%2 (on the
+    # epilogue: the slot phase 2 above has already finished reading).
+    ii = jnp.minimum(i, nt - 1)
+    x = buf[((bb * nw + j) * nt + ii) % 2]
+    xn = _ln_fast(x, msum_ref)
+    z = (_matmul(xn, wv_ref) + bvm_ref[0]) * _rowmask(ii, th, r, wp, h)
+    v = _dw3x3(z, dwv_ref) + bdwv_ref[0]          # [r-2, Wp, Cg], col off +1
+    att = _matmul(v, apply_ref[0]) + bproj_ref[0]
+    # First residual: x rows [1, r-1) align with v's rows; one sublane roll
+    # aligns columns to the +1 offset. y must be exactly zero outside the
+    # real image before LN2/FFN-depthwise (the reference zero-pads); the
+    # column mask also kills the roll wrap garbage.
+    rmy = _rowmask(ii, th, th + 2, wp, h, -1)
+    ybuf[ii % 2] = (jnp.roll(x[1 : r - 1], -1, axis=1) + att) * cm1_ref[0] * rmy
+
+
 def _apply_ffn_kernel(
     hw_ref,
     *refs,
@@ -617,6 +763,16 @@ def fused_transformer_block(
     # copy (Mosaic tiling constraint) — the same condition as merged q/k.
     # Unaligned (cold, small-batch) geometries keep the v3 blocked specs.
     use_dma = merged
+    # v5 (round 4): all-bf16 chains + precomputed masked-bias/row-mask
+    # inputs + _ln_fast + single-dot gram. Requires the DMA path, a pow2
+    # per-image channel count (so 1/c folds exactly into the segment
+    # matrix), and the bf16 LN mode. Every hot geometry qualifies.
+    v5 = (
+        use_dma
+        and (c & (c - 1)) == 0
+        and ln_bf16
+        and os.environ.get("BAYER_TPU_FUSED_V5", "0") == "1"
+    )
 
     th = tile_rows
     hp = -(-h // th) * th
@@ -712,6 +868,38 @@ def fused_transformer_block(
     tile_v = lambda v: jnp.tile(jnp.reshape(v, (1, -1)), (1, g))
     tile_dw = lambda k: jnp.tile(k, (1, 1, g))
     msum = _block_diag(jnp.full((c, c), 1.0, _F32), g)
+
+    if v5:
+        # ---- v6 precomputed constants (numpy; see the
+        # _apply_ffn_kernel_v6 docstring). Column validity is folded into
+        # the bias inputs; row validity is a tiny per-tile broadcast input.
+        w_real = w if g_sp == 1 else w_img
+        as_bf = lambda a: jnp.asarray(a, _BF16)
+
+        def _seg_np(n_lanes, ci_img):
+            if g_sp == 1:
+                return np.zeros(n_lanes, np.int64)
+            return ((np.arange(n_lanes) // ci_img) % g_sp) * w_seg - 2
+
+        def _colmask_np(off, n_lanes, ci_img):
+            segl = _seg_np(n_lanes, ci_img)
+            gc = (
+                np.arange(nw)[:, None, None] * tw
+                + np.arange(wp)[None, :, None]
+                + off
+                + segl[None, None, :]
+            )
+            return ((gc >= 0) & (gc < w_real)).astype(np.float32)
+
+        cm1_in = as_bf(_colmask_np(-1, cg, c))
+        bvm_in = as_bf(_colmask_np(-2, cg, c) * tile_v(bv_f))
+        bp1m_in = as_bf(_colmask_np(-1, g * ch_hidden, ch_hidden) * tile_v(bp1_f))
+        # 1/c is a power of two: folding it into the segment matrix keeps
+        # the bf16 MXU mean exact and deletes the fp32 post-scale passes.
+        msum_s = (msum / c).astype(_BF16)
+        _jspec = lambda shape: pl.BlockSpec(
+            shape, lambda bb, j, i: (j, 0, 0), memory_space=pltpu.VMEM
+        )
 
     if use_dma:
         # The padded input stays in HBM; each kernel DMAs its own
@@ -866,6 +1054,76 @@ def fused_transformer_block(
             )
     else:
         apply = apply_img
+
+    if v5:
+        ch_g = g * ch_hidden
+        out = pl.pallas_call(
+            functools.partial(_apply_ffn_kernel_v6, th=th, tw=tw, nw=nw, nt=nt, h=h),
+            grid=(b2, nw, nt + 1),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                _replicated((cg, cg)),
+                pl.BlockSpec(
+                    (1, cg, cg), lambda bb, j, i: (bb, 0, 0), memory_space=pltpu.VMEM
+                ),
+                _replicated((cg, cg)),
+                _jspec((1, wp, cg)),
+                _replicated((3, 3, cg)),
+                _replicated((1, cg)),
+                _replicated((1, cg)),
+                _replicated((cg, ch_g)),
+                _jspec((1, wp, ch_g)),
+                _replicated((3, 3, ch_g)),
+                _replicated((1, ch_g)),
+                _replicated((ch_g, cg)),
+                _replicated((1, cg)),
+                _jspec((1, wp, cg)),
+            ],
+            # Phase 2 at step i emits tile i-1; rather than a clamped
+            # revisiting index map, the output carries one extra leading
+            # tile (block i holds tile i-1, block 0 is prologue garbage)
+            # and the host slices rows [th, th+h).
+            out_specs=pl.BlockSpec(
+                (1, th, tw, cg),
+                lambda bb, j, i: (bb, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b2, hp + th, wpad, cg), dtype_in),
+            scratch_shapes=win_scratch
+            + [pltpu.VMEM((2, th + 2, wp, cg), _BF16)],
+            compiler_params=cpar(("arbitrary",) * 3),
+            interpret=interpret,
+        )(
+            xw,
+            msum_s,
+            apply.astype(_BF16),
+            bd(wv_f).astype(_BF16),
+            bvm_in,
+            tile_dw(wdw[:, :, 2 * c :]).astype(_F32),
+            tile_v(bdw[2 * c :]).astype(_BF16),
+            tile_v(bproj).astype(_BF16),
+            bd(wp1_f).astype(_BF16),
+            bp1m_in,
+            tile_dw(wdwf).astype(_F32),
+            tile_v(bdwf).astype(_BF16),
+            bd(wp2).astype(_BF16),
+            tile_v(bp2).astype(_BF16),
+            cm1_in,
+        )
+        out = out[:, th : th + h, :w]
+        if g > 1:
+            out = jnp.transpose(
+                out.reshape(b2, h, w, g, c), (0, 3, 1, 2, 4)
+            ).reshape(b, h, w, c)
+        if g_sp > 1:
+            out = out.reshape(b_img, g_sp, h, w_seg + 4, c)[:, :, :, 2 : 2 + w_seg]
+            out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
+                b_img, h, g_sp * w_seg, c
+            )
+            out = out[:, :, :w_img]
+        if return_residuals:
+            return out, (gram_img, qss_img, kss_img, apply_img)
+        return out
 
     out = pl.pallas_call(
         functools.partial(_apply_ffn_kernel, th=th, tw=tw, nw=nw, nt=nt,

@@ -43,6 +43,23 @@ from bayer_low_light_image_enhancement_tpu.models.common import (
 _PACKED_CONV_NAMES = frozenset({"embedding", "channel_reduce3", "conv_out"})
 
 
+def _fuse_cmax() -> int:
+    """Channel-width ceiling for fused-block interception (round-4 A/Bs in
+    BENCHMARKS.md): the kernel wins at C=32 (2.02x) and C=64 (1.29x)
+    everywhere, and — since the v4 explicit-DMA restructure — at the deep
+    crop levels too (1.28x at [8,64,64,128] th=16, 1.18x at
+    [8,32,32,256]); the v2-era measurements that gated these off (1.01x /
+    0.94x) are stale. ``BAYER_TPU_FUSE_CMAX`` overrides for A/Bs."""
+    return int(os.environ.get("BAYER_TPU_FUSE_CMAX", "256"))
+
+
+# Deep-level (C>64) fusion is additionally gated to crop-like spatial
+# extents: at full-resolution level-3 geometry (354x530 @ C=128) fusion
+# measured a regression (49.0 -> 47.7 MP/s, round 2), while the crop
+# geometries (64^2 / 32^2) win. 16384 px = 2x the 64^2 crop extent.
+_DEEP_FUSE_MAX_PIXELS = 16384
+
+
 def _fusable(module: nn.Module, args) -> bool:
     if module.spatial_axis is not None:
         # Spatially-sharded attention psums across chips inside shard_map;
@@ -50,14 +67,10 @@ def _fusable(module: nn.Module, args) -> bool:
         return False
     if not args or getattr(args[0], "ndim", 0) != 4:
         return False
-    if args[0].shape[-1] > 64:
-        # Measured on v5e (BENCHMARKS.md): the kernel wins where XLA is
-        # occupancy/traffic-bound (2.02x at C=32, 1.29x at C=64) and is
-        # neutral-to-losing at the deep narrow-spatial levels (1.01x at
-        # C=128, 0.94x at C=256) where XLA's lowering is already compact.
-        # Also measured: extending fusion to C=128 at full-resolution
-        # spatial sizes (354x530) regressed 49.0 -> 47.7 MP/s - C alone is
-        # the right gate.
+    c = args[0].shape[-1]
+    if c > _fuse_cmax():
+        return False
+    if c > 64 and args[0].shape[1] * args[0].shape[2] > _DEEP_FUSE_MAX_PIXELS:
         return False
     return True
 
