@@ -551,6 +551,78 @@ def _apply_ffn_kernel_v6(
     ybuf[ii % 2] = (jnp.roll(x[1 : r - 1], -1, axis=1) + att) * cm1_ref[0] * rmy
 
 
+def _apply_ffn_chain(
+    x, hw_ref, msum_ref, apply_ref, wv_ref, bv_ref, dwv_ref, bdwv_ref,
+    bproj_ref, wp1_ref, bp1_ref, dwf_ref, bdwf_ref, wp2_ref, bp2_ref,
+    *, i, th, col_base, c_img, ch_img, g_sp, w_seg, ln_bf16, gelu_bf16,
+    mask_x,
+):
+    """One attention-apply + FFN dependency chain over a column slice.
+
+    ``x``: [r, wcols, Cg] window slice whose column 0 is GLOBAL column
+    ``col_base - 2`` (the window's 2 halo columns). Returns the [th, wcols,
+    Cg] result at the usual +2 column offset: out[:, q] is global column
+    ``col_base + q`` — valid for q < wcols - 4 (the trailing columns are
+    dw/roll wrap garbage the caller discards).
+
+    Factoring the body out of ``_apply_ffn_kernel`` lets the split path run
+    TWO independent chains over column halves in one grid step (see
+    ``n_split`` in the kernel): the chains share no values, so Mosaic's
+    scheduler can overlap one chain's VPU passes (depthwise taps, GELU, LN
+    pointwise) with the other's MXU matmuls — the round-4 finding was that
+    the per-step time is ~40us MXU + ~65us VPU executed BACK-TO-BACK
+    because every op consumes its predecessor, and instruction cuts moved
+    nothing (BENCHMARKS.md round-4).
+    """
+    r, wp, cg = x.shape
+    seg = _seg_off(cg, c_img, g_sp, w_seg)
+    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2,
+                    col_base=col_base, seg=seg)
+    if mask_x:
+        # Clamped boundary halo rows carry garbage (see _win); zero them in
+        # x itself so the first-residual add (raw x rows) stays exact. On
+        # the DMA path the H-padded input's out-of-image pixels are already
+        # exact zeros, so no mask is needed there.
+        x = x * m0
+    xn = _ln_core(x.astype(_F32), msum_ref, 1.0 / c_img, bf16_stats=ln_bf16)
+
+    # v branch; mv masks real pixels at the dw output's +1 column offset.
+    mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1,
+                    col_base=col_base, seg=seg)
+    v = _dw3x3((_matmul(xn, wv_ref) + bv_ref[0]) * m0, dwv_ref)
+    v = (v + bdwv_ref[0]) * mv
+
+    att = _matmul(v, apply_ref[0], _BF16)
+    att = (att + bproj_ref[0]) * mv
+
+    # First residual. x rows [1, th+3) align with v's rows; one sublane roll
+    # aligns columns to the +1 offset. x is zero outside the real image, so
+    # y is too (== the SAME zero padding the FFN depthwise expects), and the
+    # LN2 of those zero pixels is exactly zero (affine folded into wp1).
+    y = jnp.roll(x[1 : r - 1], -1, axis=1) + att  # [th+2, Wp, C], col off +1
+
+    yn = _ln_core(y.astype(_F32), msum_ref, 1.0 / c_img, bf16_stats=ln_bf16)
+    # Hidden-width copy of mv: under spatial packing masks are per-lane and
+    # the FFN hidden tensor has ch_img (not c_img) lanes per packed image.
+    if g_sp > 1:
+        nh = wp1_ref.shape[1]
+        mv_h = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1,
+                          col_base=col_base,
+                          seg=_seg_off(nh, ch_img, g_sp, w_seg))
+    else:
+        mv_h = mv
+    t = (_matmul(yn, wp1_ref) + bp1_ref[0]) * mv_h
+    f = _dw3x3(t, dwf_ref) + bdwf_ref[0]  # [th, Wp, Ch], col offset +2
+    if gelu_bf16:
+        f = _gelu_exact(f.astype(_BF16))
+    else:
+        f = _gelu_exact(f.astype(_F32)).astype(_BF16)
+    f = _matmul(f, wp2_ref) + bp2_ref[0]
+
+    # Second residual: y rows [1, th+1) with one more column roll (+2 offset).
+    return jnp.roll(y[1 : th + 1], -1, axis=1) + f
+
+
 def _apply_ffn_kernel(
     hw_ref,
     *refs,
@@ -576,6 +648,7 @@ def _apply_ffn_kernel(
     ln_bf16: bool,
     gelu_bf16: bool,
     use_dma: bool,
+    n_split: int = 1,
 ):
     bb = pl.program_id(0)
     j = pl.program_id(1)
@@ -591,55 +664,46 @@ def _apply_ffn_kernel(
          dwv_ref, bdwv_ref, bproj_ref, wp1_ref, bp1_ref, dwf_ref, bdwf_ref,
          wp2_ref, bp2_ref, out_ref) = refs
         x = _win(prev_ref, cur_ref, nxt_ref, th)
-    r, wp, cg = x.shape
-    seg = _seg_off(cg, c_img, g_sp, w_seg)
-    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
-                    seg=seg)
-    if not use_dma:
-        # Clamped boundary halo rows carry garbage (see _win); zero them in
-        # x itself so the first-residual add (raw x rows) stays exact. On
-        # the DMA path the H-padded input's out-of-image pixels are already
-        # exact zeros, so no mask is needed there.
-        x = x * m0
-    xn = _ln_core(x.astype(_F32), msum_ref, 1.0 / c_img, bf16_stats=ln_bf16)
 
-    # v branch; mv masks real pixels at the dw output's +1 column offset.
-    mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1, col_base=cb,
-                    seg=seg)
-    v = _dw3x3((_matmul(xn, wv_ref) + bv_ref[0]) * m0, dwv_ref)
-    v = (v + bdwv_ref[0]) * mv
-
-    att = _matmul(v, apply_ref[0], _BF16)
-    att = (att + bproj_ref[0]) * mv
-
-    # First residual. x rows [1, th+3) align with v's rows; one sublane roll
-    # aligns columns to the +1 offset. x is zero outside the real image, so
-    # y is too (== the SAME zero padding the FFN depthwise expects), and the
-    # LN2 of those zero pixels is exactly zero (affine folded into wp1).
-    y = jnp.roll(x[1 : r - 1], -1, axis=1) + att  # [th+2, Wp, C], col off +1
-
-    yn = _ln_core(y.astype(_F32), msum_ref, 1.0 / c_img, bf16_stats=ln_bf16)
-    # Hidden-width copy of mv: under spatial packing masks are per-lane and
-    # the FFN hidden tensor has ch_img (not c_img) lanes per packed image.
-    if g_sp > 1:
-        nh = wp1_ref.shape[1]
-        mv_h = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1,
-                          col_base=cb, seg=_seg_off(nh, ch_img, g_sp, w_seg))
+    weight_refs = (msum_ref, apply_ref, wv_ref, bv_ref, dwv_ref, bdwv_ref,
+                   bproj_ref, wp1_ref, bp1_ref, dwf_ref, bdwf_ref, wp2_ref,
+                   bp2_ref)
+    chain = functools.partial(
+        _apply_ffn_chain, th=th, i=i, c_img=c_img, ch_img=ch_img, g_sp=g_sp,
+        w_seg=w_seg, ln_bf16=ln_bf16, gelu_bf16=gelu_bf16, mask_x=not use_dma,
+    )
+    splits = _split_cols(tw, x.shape[1], n_split)
+    if splits is None:
+        out = chain(x, hw_ref, *weight_refs, col_base=cb)
+        # Columns [0, tw) of the (+2-offset) result are exactly this
+        # W-tile's owned global columns [cb, cb+tw).
+        out_ref[0] = out[:, :tw].astype(out_ref.dtype)
     else:
-        mv_h = mv
-    t = (_matmul(yn, wp1_ref) + bp1_ref[0]) * mv_h
-    f = _dw3x3(t, dwf_ref) + bdwf_ref[0]  # [th, Wp, Ch], col offset +2
-    if gelu_bf16:
-        f = _gelu_exact(f.astype(_BF16))
-    else:
-        f = _gelu_exact(f.astype(_F32)).astype(_BF16)
-    f = _matmul(f, wp2_ref) + bp2_ref[0]
+        # Split path: independent column-half chains (see _apply_ffn_chain
+        # docstring). Each chain's slice carries 4 extra columns of context
+        # (+ sublane-alignment pad); only ~4/tw of the work is duplicated.
+        for c0, c1, cs in splits:
+            o = chain(x[:, c0:cs], hw_ref, *weight_refs, col_base=cb + c0)
+            out_ref[0, :, c0:c1] = o[:, : c1 - c0].astype(out_ref.dtype)
 
-    # Second residual: y rows [1, th+1) with one more column roll (+2 offset).
-    out = jnp.roll(y[1 : th + 1], -1, axis=1) + f
-    # Columns [0, tw) of the (+2-offset) result are exactly this W-tile's
-    # owned global columns [cb, cb+tw).
-    out_ref[0] = out[:, :tw].astype(out_ref.dtype)
+
+def _split_cols(tw, wp, n_split):
+    """Column ranges [(out_lo, out_hi, slice_hi), ...] for the split-chain
+    path, or None when splitting is off/not worthwhile. Boundaries are
+    sublane (8) multiples; each slice extends 8 columns past its owned
+    range (4 needed for dw/roll context, rounded to the sublane tile)."""
+    if n_split <= 1:
+        return None
+    step = -(-tw // (8 * n_split)) * 8
+    if step < 32 or step >= tw:
+        return None
+    out = []
+    lo = 0
+    while lo < tw:
+        hi = min(lo + step, tw)
+        out.append((lo, hi, min(hi + 8, wp)))
+        lo = hi
+    return out
 
 
 def finalize_attention(gram, qss, kss, temperature, wproj, num_heads):
@@ -692,6 +756,7 @@ def fused_transformer_block(
     chunked: Optional[bool] = None,  # retired, accepted and ignored
     ln_bf16: Optional[bool] = None,
     gelu_bf16: Optional[bool] = None,
+    n_split: Optional[int] = None,
     return_residuals: bool = False,
     stage: str = "full",
     apply_override: Optional[jnp.ndarray] = None,
@@ -756,6 +821,8 @@ def fused_transformer_block(
         ln_bf16 = os.environ.get("BAYER_TPU_LN_BF16", "1") == "1"
     if gelu_bf16 is None:
         gelu_bf16 = os.environ.get("BAYER_TPU_GELU_BF16", "1") == "1"
+    if n_split is None:
+        n_split = int(os.environ.get("BAYER_TPU_FUSED_SPLIT", "1"))
     # Merged q/k: one [Cg, 2Cg] matmul + one depthwise pass when the halves
     # split at a 128-lane tile boundary (free slices in-kernel).
     merged = cg % 128 == 0
@@ -1129,7 +1196,7 @@ def fused_transformer_block(
         functools.partial(_apply_ffn_kernel, th=th, tw=tw, nw=nw, nt=nt,
                           c_img=c, ch_img=ch_hidden, g_sp=g_sp, w_seg=w_seg,
                           ln_bf16=ln_bf16, gelu_bf16=gelu_bf16,
-                          use_dma=use_dma),
+                          use_dma=use_dma, n_split=n_split),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),

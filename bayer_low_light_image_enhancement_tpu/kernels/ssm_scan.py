@@ -425,30 +425,42 @@ def _bwd_pallas(res, dy, chunk, block_d, interpret):
     return du_o, ddt_o, da_o, db_o, dc_o, dd_o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def selective_scan_pallas_train(
-    u, delta, A, B, C, D, chunk=64, block_d=128, interpret=None
+    u, delta, A, B, C, D, chunk=64, fwd_chunk=256, block_d=128, interpret=None
 ):
     """``selective_scan_pallas`` with a Pallas backward (training path).
 
-    The bwd default chunk is 64 (vs 128 fwd): the backward holds ~2x the
-    [Lc, N, D_blk] fp32 working set (h, h_prev, lam, a) in VMEM.
+    ``chunk`` (default 64) is the TRAINING chunk, used by both the
+    grad-traced forward and the backward — they must agree because the
+    forward saves one [N, D_blk] entry state per chunk that the backward's
+    BlockSpecs index by chunk number; 64 because the backward holds ~2x
+    the [Lc, N, D_blk] fp32 working set (h, h_prev, lam, a) in VMEM.
+
+    ``fwd_chunk`` (default 256) is the chunk for the UNDIFFERENTIATED
+    primal (inference through the training-capable wrapper — the
+    production WFB path, ops/ssm.py): it saves no states, so it takes the
+    larger round-4-measured-optimal chunk. ``BAYER_TPU_SSM_CHUNK``
+    (resolved inside ``selective_scan_pallas``) overrides the inference
+    chunk only; the training chunks are env-independent by design so a
+    measurement override can never silently change training numerics.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return selective_scan_pallas(
-        u, delta, A, B, C, D, chunk=chunk, block_d=block_d, interpret=interpret
+        u, delta, A, B, C, D, chunk=fwd_chunk, block_d=block_d,
+        interpret=interpret,
     )
 
 
-def _train_fwd(u, delta, A, B, C, D, chunk, block_d, interpret):
+def _train_fwd(u, delta, A, B, C, D, chunk, fwd_chunk, block_d, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     y, states = _fwd_with_states(u, delta, A, B, C, D, chunk, block_d, interpret)
     return y, (u, delta, A, B, C, D, states)
 
 
-def _train_bwd(chunk, block_d, interpret, res, dy):
+def _train_bwd(chunk, fwd_chunk, block_d, interpret, res, dy):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _bwd_pallas(res, dy, chunk, block_d, interpret)

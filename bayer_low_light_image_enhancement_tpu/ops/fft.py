@@ -74,12 +74,17 @@ def _rfft2_dft(x, ortho):
     dot_general; channels stay in the lane dimension throughout.
     """
     ch, sh, cw, sw = _rfft2_consts(x.shape[1], x.shape[2])
+    # Precision pinned to HIGHEST: at DEFAULT, TPU fp32 dots may lower to
+    # reduced-precision bf16 passes, which would degrade the 256-length DFT
+    # sums far past the measured 5e-7 FFT-path agreement.
+    dot = functools.partial(jax.lax.dot_general,
+                            precision=jax.lax.Precision.HIGHEST)
     dn_w = (((2,), (0,)), ((), ()))   # [b,h,W,c] x [W,v] -> [b,h,c,v]
-    re1 = jax.lax.dot_general(x, cw, dn_w)
-    im1 = -jax.lax.dot_general(x, sw, dn_w)
+    re1 = dot(x, cw, dn_w)
+    im1 = -dot(x, sw, dn_w)
     dn_h = (((1,), (0,)), ((), ()))   # [b,H,c,v] x [H,u] -> [b,c,v,u]
-    yre = jax.lax.dot_general(re1, ch, dn_h) + jax.lax.dot_general(im1, sh, dn_h)
-    yim = jax.lax.dot_general(im1, ch, dn_h) - jax.lax.dot_general(re1, sh, dn_h)
+    yre = dot(re1, ch, dn_h) + dot(im1, sh, dn_h)
+    yim = dot(im1, ch, dn_h) - dot(re1, sh, dn_h)
     # [b,c,v,u] -> [b,u,v,c]
     perm = (0, 3, 2, 1)
     return jnp.transpose(yre, perm) * ortho, jnp.transpose(yim, perm) * ortho
@@ -91,10 +96,12 @@ def _irfft2_dft(re, im, h, w, scale):
     inverse DFT matrices, then two inverse transforms as matmuls."""
     ch, sh, cw, sw = _rfft2_consts(h, w)
     v = w // 2 + 1
+    dot = functools.partial(jax.lax.dot_general,
+                            precision=jax.lax.Precision.HIGHEST)
     # Inverse along H (full complex): z[h] = (1/H) sum_u y[u] e^{+2pi i uh/H}
     dn_h = (((1,), (1,)), ((), ()))   # [b,U,v,c] x [H,U] -> [b,v,c,H]
-    zre = jax.lax.dot_general(re, ch, dn_h) - jax.lax.dot_general(im, sh, dn_h)
-    zim = jax.lax.dot_general(im, ch, dn_h) + jax.lax.dot_general(re, sh, dn_h)
+    zre = dot(re, ch, dn_h) - dot(im, sh, dn_h)
+    zim = dot(im, ch, dn_h) + dot(re, sh, dn_h)
     # Inverse along W with Hermitian fold: x[w'] = (1/W) sum_{v'} wgt[v']
     # (zre[v'] cos - zim[v'] sin), wgt = 1 at DC/Nyquist else 2.
     wgt = np.full((v,), 2.0, np.float32)
@@ -104,7 +111,7 @@ def _irfft2_dft(re, im, h, w, scale):
     cwt = jnp.asarray((_dft_mats(w)[0][:, :v] * wgt).T)  # [v, W]
     swt = jnp.asarray((_dft_mats(w)[1][:, :v] * wgt).T)
     dn_w = (((1,), (0,)), ((), ()))   # [b,v,c,H] x [v,W] -> [b,c,H,W]
-    out = jax.lax.dot_general(zre, cwt, dn_w) - jax.lax.dot_general(zim, swt, dn_w)
+    out = dot(zre, cwt, dn_w) - dot(zim, swt, dn_w)
     # [b,c,H,W] -> [b,H,W,c]
     return jnp.transpose(out, (0, 2, 3, 1)) * (scale / (h * w))
 
