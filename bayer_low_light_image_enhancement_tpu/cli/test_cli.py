@@ -200,15 +200,32 @@ def main(argv=None):
 
     elif not args.no_fused and jax.default_backend() == "tpu":
         # Single-chip full-res eval: TransformerBlocks run as the fused
-        # Pallas kernel (BENCHMARKS.md: VMEM-resident intermediates fix the
-        # HBM working-set thrash that makes monolithic 12MP frames slower
-        # per pixel than crops).
+        # Pallas kernel, and large canonical-RawFormer frames additionally
+        # stream as H-bands riding the batch axis (round 5,
+        # models/fused_apply.make_banded_forward: every op then runs at
+        # crop-like batched geometry — measured 1.5x the monolithic 12MP
+        # graph — while staying numerically identical to it).
         from bayer_low_light_image_enhancement_tpu.models.fused_apply import (
+            make_banded_forward,
             make_fused_forward,
+            pick_bands,
         )
 
         fused = make_fused_forward(model)
-        fwd = jax.jit(lambda p, x: jnp.clip(fused(p, x), 0.0, 1.0))
+        band_ok = args.model is None  # canonical RawFormer S/B/L
+        if band_ok:
+            # Pad H so full frames split into 8 equal /16-divisible bands.
+            args.pad_to = max(args.pad_to, 128)
+
+        @jax.jit
+        def fwd(p, x):
+            k = (
+                pick_bands(x.shape[1])
+                if band_ok and x.shape[0] == 1 and x.shape[1] >= 1024
+                else 1
+            )
+            y = (make_banded_forward(model, k) if k > 1 else fused)(p, x)
+            return jnp.clip(y, 0.0, 1.0)
     else:
         fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))
     # Metrics consume the uint8 images directly (the reference computes

@@ -72,6 +72,20 @@ _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
 
+def _auto_band_default() -> bool:
+    """Kernel-internal auto H-banding at batch 1 (``BAYER_TPU_BAND=1``).
+
+    Default OFF: the banded kernel wins ISOLATED (full-res L1 block 14.9 ms
+    banded vs 16.9 g_sp) but the full-res graph REGRESSED (165.1 vs 160.8
+    ms) — the pad/reshape/halo-gather at every kernel entry breaks XLA's
+    scheduling around it. Model-level banding (fused_apply
+    make_banded_forward), which keeps tensors band-shaped between stages,
+    is the shipped full-res path (152.7 ms)."""
+    import os
+
+    return os.environ.get("BAYER_TPU_BAND", "0") == "1"
+
+
 def _ln_core(x_f32, msum_ref, inv_c, eps=1e-5, bf16_stats=True):
     """Channel LayerNorm WITHOUT the affine (torch semantics: biased var,
     fp32 stats), returning bf16. The affine (w, b) is folded into the next
@@ -144,7 +158,7 @@ def _seg_off(cg, c_img, g_sp, w_seg):
 
 
 def _real_mask(i, th, hw_ref, rows, wp, row_off, col_off, col_base=0,
-               seg=0, dtype=_BF16):
+               seg=0, dtype=_BF16, row_seg=0, h_tot=None):
     """Mask of pixels inside the real image.
 
     Tensor row o maps to global row i*th + o + row_off; column c maps to
@@ -153,15 +167,36 @@ def _real_mask(i, th, hw_ref, rows, wp, row_off, col_off, col_base=0,
     ``_seg_off``). (Windows start 2 rows/cols before the tile so raw window
     coords have row_off=-2, col_off=-2; each dw3x3 adds +1 to the column
     offset.)
+
+    Band mode (``row_seg``/``h_tot``): under H-band lane packing each lane
+    belongs to a band whose rows sit at a per-lane FRAME-row offset
+    (``row_seg``, see ``_band_row_seg``); validity is then against the
+    whole frame height ``h_tot`` — band-interior halo rows carry real
+    neighbour-band data and must NOT be masked (they feed the depthwise
+    halo taps of the band's edge rows exactly like the monolithic pad
+    rows would).
     """
-    h_real = hw_ref[0]
+    h_real = h_tot if h_tot is not None else hw_ref[0]
     w_real = hw_ref[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 1)
-    g = i * th + ri + row_off
+    g = i * th + ri + row_off + row_seg  # lane-broadcasts under band mode
     c = col_base + ci + col_off + seg
     ok = (g >= 0) & (g < h_real) & (c >= 0) & (c < w_real)
     return ok.astype(dtype)
+
+
+def _band_row_seg(bb, g, lanes, c_img, h, bands):
+    """Per-lane frame-row offset under H-band lane packing: lane l of grid
+    group bb belongs to image ``bb*g + (l//c_img) % g``, i.e. band
+    ``(...) % bands`` of its frame, whose rows sit ``band*h`` rows into
+    the frame. The ``% g`` makes the mapping correct for lane-concatenated
+    tensors like the merged [q|k] (lanes 2*Cg). Returns [1, 1, lanes]
+    int32 (0 when band mode is off)."""
+    if bands <= 1:
+        return 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
+    return ((bb * g + (lane // c_img) % g) % bands) * h
 
 
 def _ln_fast(x, msum_ref, eps=1e-5):
@@ -276,15 +311,20 @@ def _dma_window(x_ref, buf, sems, bb, j, i, *, nw, nt, th):
     return buf[step % 2]
 
 
-def _own_mask(hw_ref, i, th, tw, r, wp, cb, seg, g_sp, w_seg, lanes):
+def _own_mask(hw_ref, i, th, tw, r, wp, cb, seg, g_sp, w_seg, lanes,
+              row_seg=0, h_tot=None):
     """Mask selecting this tile's OWN real pixels at the dw output's +1
-    column offset (halo rows/cols belong to the neighbouring tiles)."""
+    column offset (halo rows/cols belong to the neighbouring tiles). Band
+    mode adds the FRAME-height bound: the last band of a padded frame owns
+    only the rows below the real frame height."""
     h_real = hw_ref[0]
     w_real = hw_ref[1]
     shape = (r - 2, wp, 1) if isinstance(seg, int) and seg == 0 else (r - 2, wp, lanes)
     ri = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     own = (ri >= 1) & (ri < th + 1) & (i * th + ri - 1 < h_real)
+    if h_tot is not None:
+        own &= (row_seg + i * th + ri - 1) < h_tot
     # Owned (non-halo) columns; under spatial packing each lane segment
     # owns w_seg data columns starting 2 cols into its packed strip.
     lo, ln = (3, w_seg) if g_sp > 1 else (1, tw)
@@ -381,13 +421,23 @@ def _gram_kernel_merged(
     g_sp: int,
     w_seg: int,
     ln_bf16: bool,
+    g: int = 1,
+    h_img: int = 0,
+    bands: int = 1,
+    frame_h: int = 0,
 ):
     """Merged-qk variant of ``_gram_kernel``, used when cg % 128 == 0 so the
     q/k lane halves split at a tile boundary (free slices): ONE [Cg, 2Cg]
     matmul, ONE depthwise pass, ONE bias/mask application — half the
     instruction chain of the split path for the same FLOPs, which matters
     because the kernel is dependency-chain-bound, not MXU-bound
-    (BENCHMARKS.md round-3)."""
+    (BENCHMARKS.md round-3).
+
+    Band mode: the bias mask extends to FRAME bounds (halo rows carry real
+    neighbour-band data whose pre-dw q/k values feed the band edge rows'
+    depthwise taps — masking them would corrupt the edge rows' q/k, which
+    ARE inside the own-masked gram); the own mask stays band-local, so no
+    pixel is double-counted across bands."""
     bb = pl.program_id(0)
     j = pl.program_id(1)
     i = pl.program_id(2)
@@ -401,18 +451,23 @@ def _gram_kernel_merged(
     x = _dma_window(x_ref, buf, sems, bb, j, i, nw=nw, nt=nt, th=th)
     r, wp, cg = x.shape
     seg = _seg_off(cg, c_img, g_sp, w_seg)
-    m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2, col_base=cb,
-                    seg=seg)
+    h_tot = frame_h if bands > 1 else None
+    row_seg2 = _band_row_seg(bb, g, 2 * cg, c_img, h_img, bands)
     # x needs no masking: out-of-image pixels are zero-padded host-side.
     xn = _ln_core(x.astype(_F32), msum_ref, 1.0 / c_img,
                   bf16_stats=ln_bf16)
 
     seg2 = _seg_off(2 * cg, c_img, g_sp, w_seg)
-    m0_2 = (
-        m0 if g_sp == 1
-        else _real_mask(i, th, hw_ref, r, wp, -2, -2, cb, seg2)
-    )
-    mg2 = _own_mask(hw_ref, i, th, tw, r, wp, cb, seg2, g_sp, w_seg, 2 * cg)
+    if g_sp == 1 and bands <= 1:
+        m0_2 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2,
+                          col_base=cb, seg=seg)
+    else:
+        m0_2 = _real_mask(
+            i, th, hw_ref, r, wp, -2, -2, cb, seg2,
+            row_seg=row_seg2, h_tot=h_tot,
+        )
+    mg2 = _own_mask(hw_ref, i, th, tw, r, wp, cb, seg2, g_sp, w_seg, 2 * cg,
+                    row_seg=row_seg2, h_tot=h_tot)
 
     qk = _dw3x3((_matmul(xn, wqk_ref) + bqk_ref[0]) * m0_2, dwqk_ref)
     qk = (qk + bdwqk_ref[0]) * mg2
@@ -555,7 +610,7 @@ def _apply_ffn_chain(
     x, hw_ref, msum_ref, apply_ref, wv_ref, bv_ref, dwv_ref, bdwv_ref,
     bproj_ref, wp1_ref, bp1_ref, dwf_ref, bdwf_ref, wp2_ref, bp2_ref,
     *, i, th, col_base, c_img, ch_img, g_sp, w_seg, ln_bf16, gelu_bf16,
-    mask_x,
+    mask_x, row_seg=0, row_seg_h=0, h_tot=None,
 ):
     """One attention-apply + FFN dependency chain over a column slice.
 
@@ -577,7 +632,7 @@ def _apply_ffn_chain(
     r, wp, cg = x.shape
     seg = _seg_off(cg, c_img, g_sp, w_seg)
     m0 = _real_mask(i, th, hw_ref, r, wp, row_off=-2, col_off=-2,
-                    col_base=col_base, seg=seg)
+                    col_base=col_base, seg=seg, row_seg=row_seg, h_tot=h_tot)
     if mask_x:
         # Clamped boundary halo rows carry garbage (see _win); zero them in
         # x itself so the first-residual add (raw x rows) stays exact. On
@@ -588,7 +643,7 @@ def _apply_ffn_chain(
 
     # v branch; mv masks real pixels at the dw output's +1 column offset.
     mv = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1,
-                    col_base=col_base, seg=seg)
+                    col_base=col_base, seg=seg, row_seg=row_seg, h_tot=h_tot)
     v = _dw3x3((_matmul(xn, wv_ref) + bv_ref[0]) * m0, dwv_ref)
     v = (v + bdwv_ref[0]) * mv
 
@@ -602,13 +657,15 @@ def _apply_ffn_chain(
     y = jnp.roll(x[1 : r - 1], -1, axis=1) + att  # [th+2, Wp, C], col off +1
 
     yn = _ln_core(y.astype(_F32), msum_ref, 1.0 / c_img, bf16_stats=ln_bf16)
-    # Hidden-width copy of mv: under spatial packing masks are per-lane and
-    # the FFN hidden tensor has ch_img (not c_img) lanes per packed image.
-    if g_sp > 1:
+    # Hidden-width copy of mv: under spatial or band packing masks are
+    # per-lane and the FFN hidden tensor has ch_img (not c_img) lanes per
+    # packed image.
+    if g_sp > 1 or not (isinstance(row_seg, int) and row_seg == 0):
         nh = wp1_ref.shape[1]
         mv_h = _real_mask(i, th, hw_ref, r - 2, wp, row_off=-1, col_off=-1,
                           col_base=col_base,
-                          seg=_seg_off(nh, ch_img, g_sp, w_seg))
+                          seg=_seg_off(nh, ch_img, g_sp, w_seg),
+                          row_seg=row_seg_h, h_tot=h_tot)
     else:
         mv_h = mv
     t = (_matmul(yn, wp1_ref) + bp1_ref[0]) * mv_h
@@ -649,6 +706,10 @@ def _apply_ffn_kernel(
     gelu_bf16: bool,
     use_dma: bool,
     n_split: int = 1,
+    g: int = 1,
+    h_img: int = 0,
+    bands: int = 1,
+    frame_h: int = 0,
 ):
     bb = pl.program_id(0)
     j = pl.program_id(1)
@@ -665,12 +726,17 @@ def _apply_ffn_kernel(
          wp2_ref, bp2_ref, out_ref) = refs
         x = _win(prev_ref, cur_ref, nxt_ref, th)
 
+    cg_l = x.shape[-1]
+    row_seg = _band_row_seg(bb, g, cg_l, c_img, h_img, bands)
+    row_seg_h = _band_row_seg(bb, g, wp1_ref.shape[1], ch_img, h_img, bands)
+    h_tot = frame_h if bands > 1 else None
     weight_refs = (msum_ref, apply_ref, wv_ref, bv_ref, dwv_ref, bdwv_ref,
                    bproj_ref, wp1_ref, bp1_ref, dwf_ref, bdwf_ref, wp2_ref,
                    bp2_ref)
     chain = functools.partial(
         _apply_ffn_chain, th=th, i=i, c_img=c_img, ch_img=ch_img, g_sp=g_sp,
         w_seg=w_seg, ln_bf16=ln_bf16, gelu_bf16=gelu_bf16, mask_x=not use_dma,
+        row_seg=row_seg, row_seg_h=row_seg_h, h_tot=h_tot,
     )
     splits = _split_cols(tw, x.shape[1], n_split)
     if splits is None:
@@ -757,6 +823,8 @@ def fused_transformer_block(
     ln_bf16: Optional[bool] = None,
     gelu_bf16: Optional[bool] = None,
     n_split: Optional[int] = None,
+    bands: int = 1,
+    frame_h: Optional[int] = None,
     return_residuals: bool = False,
     stage: str = "full",
     apply_override: Optional[jnp.ndarray] = None,
@@ -787,12 +855,69 @@ def fused_transformer_block(
     # Largest divisor of b within the lane target (halving alone left the
     # B model at g=2/96 lanes when g=4/192 was available at C=48).
     g = next(gg for gg in range(min(g_target, b), 0, -1) if b % gg == 0)
-    # Spatial lane packing: when the batch alone can't fill the lane target
-    # (single full-resolution frames), split W into g_sp segments (each with
-    # 2 host halo columns) and pack those as extra lane images. The gram is
-    # re-summed across a frame's segments in the XLA finalise, so the
-    # attention stays global over the whole image.
-    g_sp = max(1, g_target // g)
+    # Band mode (round 5): the caller has split each frame into ``bands``
+    # contiguous H-bands riding the batch axis (batch-major per frame), so
+    # the bands themselves fill the lanes through the ordinary g-packing —
+    # no W-segment spatial packing — and the finalise sums each frame's
+    # grams across its bands (see the band-sum below). Halo rows between
+    # bands are filled with real neighbour-band rows (not zeros) and the
+    # kernels' bias masks extend to frame bounds (_band_row_seg).
+    if bands > 1:
+        if b % bands:
+            raise ValueError(f"batch {b} not divisible by bands {bands}")
+        if frame_h is None:
+            frame_h = bands * h
+        g_sp = 1
+        if (g * c) % 128:
+            # Alignment overrides the lane target under band mode: the
+            # explicit-DMA windows need cg % 128 == 0, so grow g to the
+            # smallest batch divisor that aligns (e.g. C=48 at g=8 -> 384
+            # lanes = 3 tiles).
+            cand = [gg for gg in range(g + 1, b + 1)
+                    if b % gg == 0 and (gg * c) % 128 == 0]
+            if cand:
+                g = cand[0]
+    else:
+        g_sp = max(1, g_target // g)
+        if (
+            g_sp > 1
+            and h >= 16 * g_sp
+            and stage == "full"
+            and apply_override is None
+            and _auto_band_default()
+        ):
+            # AUTO H-BAND lane packing (round 5): when the batch alone
+            # can't fill the lanes (single full-res frames), split each
+            # frame's H into g_sp bands riding the batch axis — a FREE
+            # row-major reshape — and recurse in band mode. vs the
+            # W-segment (g_sp) packing this replaces: no per-segment halo
+            # columns, no pad/stack/unstack relayouts, and the band halos
+            # are filled from neighbour rows inside the kernel's own xpad
+            # build. In-graph full-res attention marginal measured 59.8 ms
+            # banded vs 96.1 ms W-segment at [1,2944,4240,32]-equivalent.
+            # The frame height need not divide: the frame is zero-padded
+            # to bands*hb and every mask carries the true frame bound
+            # (frame_h), so gram/outputs are exactly the monolithic ones.
+            kb = g_sp
+            hb = -(-h // kb)
+            xb = jnp.pad(x, ((0, 0), (0, kb * hb - h), (0, 0), (0, 0)))
+            xb = xb.reshape(b * kb, hb, w, c)
+            out = fused_transformer_block(
+                x=xb, params=params, num_heads=num_heads,
+                tile_rows=tile_rows, tile_cols=tile_cols, group=group,
+                interpret=interpret, ln_bf16=ln_bf16, gelu_bf16=gelu_bf16,
+                n_split=n_split, bands=kb, frame_h=h,
+                return_residuals=return_residuals, stage=stage,
+            )
+            if return_residuals:
+                out, res = out
+            out = out.reshape(b, kb * hb, w, c)[:, :h]
+            return (out, res) if return_residuals else out
+        # Spatial lane packing fallback (BAYER_TPU_BAND=0, or short
+        # frames): split W into g_sp segments (each with 2 host halo
+        # columns) and pack those as extra lane images. The gram is
+        # re-summed across a frame's segments in the XLA finalise, so the
+        # attention stays global over the whole image.
     # w_seg rounds to a sublane multiple (8): unaligned strip widths ripple
     # into every kernel tensor and Mosaic compile time explodes.
     w_seg = -(-w // (8 * g_sp)) * 8
@@ -830,12 +955,18 @@ def fused_transformer_block(
     # copy (Mosaic tiling constraint) — the same condition as merged q/k.
     # Unaligned (cold, small-batch) geometries keep the v3 blocked specs.
     use_dma = merged
+    if bands > 1 and not use_dma:
+        raise ValueError(
+            "band mode needs 128-aligned packed lanes (explicit-DMA path); "
+            f"got g*c = {cg}"
+        )
     # v5 (round 4): all-bf16 chains + precomputed masked-bias/row-mask
     # inputs + _ln_fast + single-dot gram. Requires the DMA path, a pow2
     # per-image channel count (so 1/c folds exactly into the segment
     # matrix), and the bf16 LN mode. Every hot geometry qualifies.
     v5 = (
         use_dma
+        and bands == 1
         and (c & (c - 1)) == 0
         and ln_bf16
         and os.environ.get("BAYER_TPU_FUSED_V5", "0") == "1"
@@ -846,14 +977,24 @@ def fused_transformer_block(
     nt = hp // th
     # W-tiling bounds per-step VMEM for wide frames (a 4240-col row block
     # made the Mosaic compile explode); whole-W tiles below the threshold.
-    # Lanes pad to 128: at cg<128 every VMEM tensor wastes 128/cg x, so the
-    # auto W-tile shrinks to keep scoped VMEM in budget on wide frames.
+    # The threshold scales INVERSELY with the packed lane count: per-step
+    # tensors are [th, wp, cg]-sized, so the budget is wp*cg, not wp alone
+    # (round 5: [8,92,1060,64] banded geometry packs to cg=256 at
+    # tw=1060 and died in register-allocator spills — 154 MB scoped).
+    # Lanes pad to 128: at cg<128 every VMEM tensor wastes 128/cg x, so
+    # the floor stays 256 columns.
     if tile_cols is not None:
         tw = tile_cols
-    elif w <= 1536:
-        tw = w
     else:
-        tw = 512 if g * c >= 128 else 256
+        limit = max(256, (1 << 17) // max(cg, 128))
+        if w <= limit:
+            tw = w
+        else:
+            # Near-even W tiles (rounded to the sublane multiple) instead
+            # of limit-sized tiles + ragged tail: at w=1060/limit=512 this
+            # gives 3x360 (20 pad cols) rather than 3x512 (476 pad cols).
+            nsp = -(-w // limit)
+            tw = -(-w // (8 * nsp)) * 8
     wpad = -(-w // tw) * tw
     nw = wpad // tw
     # Explicit-DMA windows (see _dma_window) must be tile-aligned in the
@@ -866,22 +1007,37 @@ def fused_transformer_block(
 
     dtype_in = x.dtype
     xg = x.astype(_BF16)
+    if bands > 1:
+        # Fill each band's 2-row H-halos with its neighbour bands' edge
+        # rows (zeros at the frame's own top/bottom) BEFORE lane packing,
+        # so the kernels' windows see exactly what the monolithic frame's
+        # rows would provide. Overlapping slices of the padded FRAME view:
+        # a halo may span several bands (1-row bottleneck bands).
+        nf = b // bands
+        frame = xg.reshape(nf, bands * h, w, c)
+        fp = jnp.pad(frame, ((0, 0), (2, 2), (0, 0), (0, 0)))
+        xg = jnp.stack(
+            [fp[:, k * h : k * h + h + 4] for k in range(bands)], axis=1
+        ).reshape(b, h + 4, w, c)
     if g > 1:
         # [B, H, W, C] -> [B/g, H, W, g*C]: group j holds images j*g .. j*g+g-1.
-        xg = jnp.transpose(xg.reshape(b2, g, h, w, c), (0, 2, 3, 1, 4)).reshape(
-            b2, h, w, cg
+        hh = xg.shape[1]
+        xg = jnp.transpose(xg.reshape(b2, g, hh, w, c), (0, 2, 3, 1, 4)).reshape(
+            b2, hh, w, cg
         )
     if use_dma:
         # H is padded by 2 top + 2+ bottom so the kernels' overlapping
         # (th+4)-row DMA windows (window i = rows [i*th, i*th+th+4)) are
         # static-size, always in-bounds, and carry exact ZEROS outside the
-        # real image (no clamped-garbage halos to mask). Materialising nt
+        # real image (no clamped-garbage halos to mask; band mode's halos
+        # are pre-filled above). Materialising nt
         # overlapping windows in HBM instead cost an extra ~3x round trip of
         # x and made full-resolution graphs explode at compile time; the
         # in-kernel double-buffered DMA fetches each row once. W-tiles (nw
         # is small) are stacked host-side with their halo columns.
+        hpad = (0, hp - h) if bands > 1 else (2, 2 + hp - h)
         xpad = jnp.pad(
-            xg, ((0, 0), (2, 2 + hp - h), (2, 2 + wpad - w + extra), (0, 0))
+            xg, ((0, 0), hpad, (2, 2 + wpad - w + extra), (0, 0))
         )
     else:
         # v3 blocked layout: row blocks of th rows; halo windows are
@@ -1005,7 +1161,8 @@ def fused_transformer_block(
             return pl.pallas_call(
                 functools.partial(_gram_kernel_merged, th=th, tw=tw, nw=nw,
                                   nt=nt, c_img=c, g_sp=g_sp, w_seg=w_seg,
-                                  ln_bf16=ln_bf16),
+                                  ln_bf16=ln_bf16, g=g, h_img=h, bands=bands,
+                                  frame_h=frame_h or 0),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=1,
                     grid=(b2, nw, nt),
@@ -1103,6 +1260,14 @@ def fused_transformer_block(
             gram_img = gram_img.reshape(b_img, g_sp, c, c).sum(axis=1)
             qss_img = qss_img.reshape(b_img, g_sp, c).sum(axis=1)
             kss_img = kss_img.reshape(b_img, g_sp, c).sum(axis=1)
+        if bands > 1:
+            # One gram per frame: sum each frame's per-band partials (the
+            # own-masked accumulation means every frame pixel is counted
+            # exactly once), then share the apply matrix across the bands.
+            nf = b // bands
+            gram_img = gram_img.reshape(nf, bands, c, c).sum(axis=1)
+            qss_img = qss_img.reshape(nf, bands, c).sum(axis=1)
+            kss_img = kss_img.reshape(nf, bands, c).sum(axis=1)
 
         if stage == "gram":
             return gram_img, qss_img, kss_img
@@ -1112,6 +1277,8 @@ def fused_transformer_block(
         )  # [B, C, C]
     if g_sp > 1:
         apply_img = jnp.repeat(apply_img, g_sp, axis=0)
+    if bands > 1 and apply_img.shape[0] * bands == b:
+        apply_img = jnp.repeat(apply_img, bands, axis=0)
     if g > 1:
         blocks = apply_img.reshape(b2, g, c, c)
         apply = jnp.zeros((b2, cg, cg), _F32)
@@ -1196,7 +1363,8 @@ def fused_transformer_block(
         functools.partial(_apply_ffn_kernel, th=th, tw=tw, nw=nw, nt=nt,
                           c_img=c, ch_img=ch_hidden, g_sp=g_sp, w_seg=w_seg,
                           ln_bf16=ln_bf16, gelu_bf16=gelu_bf16,
-                          use_dma=use_dma, n_split=n_split),
+                          use_dma=use_dma, n_split=n_split,
+                          g=g, h_img=h, bands=bands, frame_h=frame_h or 0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nw, nt),

@@ -72,6 +72,51 @@ def _win6(prev_ref, cur_ref, nxt_ref, th):
     )
 
 
+def _dma_win6(refs_and_bufs, bb, i, *, nt, th):
+    """Double-buffered explicit DMA of the overlapping (th+6)-row windows
+    for N streams at grid step (bb, i) — the v4 forward restructure
+    (fused_block._dma_window) ported to the backward kernels, whose blocked
+    prev/cur/nxt specs serialised the window assembly ahead of compute
+    exactly like the forward's did (1.45x on the forward twin,
+    BENCHMARKS.md round 3). Inputs are H-padded by 3 top / >=3 bottom so
+    window i = rows [i*th, i*th+th+6) is static-size, in-bounds, and exact
+    zeros outside the real image.
+
+    ``refs_and_bufs``: sequence of (hbm_ref [B2, hp+6, Wp, Cg], buf
+    [2, th+6, Wp, Cg], sems [2]) per stream. Returns the per-stream window
+    values. Grid dims must iterate sequentially (dimension_semantics
+    'arbitrary') for the slot chaining."""
+    step = bb * nt + i
+    total = pl.num_programs(0) * nt
+
+    def _start(s):
+        sb, si = s // nt, s % nt
+        for hbm, buf, sems in refs_and_bufs:
+            pltpu.make_async_copy(
+                hbm.at[sb, pl.ds(si * th, th + 6)],
+                buf.at[s % 2],
+                sems.at[s % 2],
+            ).start()
+
+    @pl.when(step == 0)
+    def _():
+        _start(0)
+
+    @pl.when(step + 1 < total)
+    def _():
+        _start(step + 1)
+
+    out = []
+    for hbm, buf, sems in refs_and_bufs:
+        pltpu.make_async_copy(
+            hbm.at[bb, pl.ds(i * th, th + 6)],
+            buf.at[step % 2],
+            sems.at[step % 2],
+        ).wait()
+        out.append(buf[step % 2])
+    return out
+
+
 def _ln_fwd(x_f32, w_ref, b_ref, mavg_ref, eps=1e-5):
     """LayerNorm forward returning (y, xhat, rsig) for reuse in backward."""
     mu = _matmul(x_f32, mavg_ref, _F32)
@@ -148,35 +193,36 @@ def _own_mask(i, th, hw_ref, rows, wp, row_off, col_off, dtype=_BF16):
 
 def _bwd1_kernel(
     hw_ref,
-    xprev, xcur, xnxt,      # x row blocks [1, th, Wp, Cg]
-    dyprev, dycur, dynxt,   # dy row blocks
-    mavg_ref,
-    apply_ref,              # (1, Cg, Cg) block-diag apply
-    ln1w_ref, ln1b_ref,
-    wv_ref, bv_ref, dwv_ref, bdwv_ref,
-    bproj_ref,
-    ln2w_ref, ln2b_ref,
-    wp1_ref, bp1_ref,       # (Cg, Chg)
-    wp1T_ref,               # (Chg, Cg)
-    dwf_ref, dwfF_ref, bdwf_ref,  # dwfF = flipped taps
-    wp2T_ref,               # (Cg, Chg)  (W2^T)
-    # outputs
-    dx2_ref,      # [1, th, W, Cg]
-    dapply_ref,   # [1, Cg, Cg] f32 (per-b2, summed over tiles)
-    dw1_ref,      # (Cg, Chg) f32 shared accumulator
-    db1_ref,      # (1, Chg)
-    ddwf_ref,     # (9, Chg)
-    dbdwf_ref,    # (1, Chg)
-    dw2_ref,      # (Chg, Cg)
-    db2_ref,      # (1, Cg)
-    dln2w_ref, dln2b_ref,  # (1, Cg)
-    dbproj_ref,   # (1, Cg)
-    *,
+    *refs,
+    # use_dma=False: refs = (xprev, xcur, xnxt, dyprev, dycur, dynxt,
+    #                        <weights>, <outputs>) — blocked row specs
+    # use_dma=True:  refs = (x_hbm, dy_hbm [B2, hp+6, Wp, Cg] in ANY,
+    #                        <weights>, <outputs>, bufx, semx, bufy, semy)
+    # weights: mavg, apply (1,Cg,Cg), ln1w, ln1b, wv, bv, dwv, bdwv, bproj,
+    #          ln2w, ln2b, wp1, bp1, wp1T, dwf, dwfF, bdwf, wp2T
+    # outputs: dx2 [1,th,W,Cg], dapply [1,Cg,Cg], dW1, db1, ddwf, dbdwf,
+    #          dW2, db2, dln2w, dln2b, dbproj
     th: int,
     w_out: int,
+    nt: int,
+    use_dma: bool,
 ):
     i = pl.program_id(1)
     bb = pl.program_id(0)
+    if use_dma:
+        (x_hbm, dy_hbm, mavg_ref, apply_ref, ln1w_ref, ln1b_ref,
+         wv_ref, bv_ref, dwv_ref, bdwv_ref, bproj_ref, ln2w_ref, ln2b_ref,
+         wp1_ref, bp1_ref, wp1T_ref, dwf_ref, dwfF_ref, bdwf_ref, wp2T_ref,
+         dx2_ref, dapply_ref, dw1_ref, db1_ref, ddwf_ref, dbdwf_ref,
+         dw2_ref, db2_ref, dln2w_ref, dln2b_ref, dbproj_ref,
+         bufx, semx, bufy, semy) = refs
+    else:
+        (xprev, xcur, xnxt, dyprev, dycur, dynxt, mavg_ref, apply_ref,
+         ln1w_ref, ln1b_ref, wv_ref, bv_ref, dwv_ref, bdwv_ref, bproj_ref,
+         ln2w_ref, ln2b_ref, wp1_ref, bp1_ref, wp1T_ref, dwf_ref, dwfF_ref,
+         bdwf_ref, wp2T_ref, dx2_ref, dapply_ref, dw1_ref, db1_ref,
+         ddwf_ref, dbdwf_ref, dw2_ref, db2_ref, dln2w_ref, dln2b_ref,
+         dbproj_ref) = refs
 
     @pl.when((bb == 0) & (i == 0))
     def _init_shared():
@@ -194,12 +240,21 @@ def _bwd1_kernel(
     def _init_batch():
         dapply_ref[...] = jnp.zeros_like(dapply_ref)
 
-    x = _win6(xprev, xcur, xnxt, th)          # [R6, Wp, Cg] bf16
-    dyw = _win6(dyprev, dycur, dynxt, th)
-    r6, wp, cg = x.shape
-    m0 = _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
-    x = x * m0
-    dyw = dyw * _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
+    if use_dma:
+        # H-padded exact-zero windows: no input masking needed (pad pixels
+        # are zeros, and every derived tensor is masked where it matters).
+        x, dyw = _dma_win6(
+            [(x_hbm, bufx, semx), (dy_hbm, bufy, semy)], bb, i, nt=nt, th=th
+        )
+        r6, wp, cg = x.shape
+        m0 = _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
+    else:
+        x = _win6(xprev, xcur, xnxt, th)          # [R6, Wp, Cg] bf16
+        dyw = _win6(dyprev, dycur, dynxt, th)
+        r6, wp, cg = x.shape
+        m0 = _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
+        x = x * m0
+        dyw = dyw * _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
 
     # ---- forward recompute (all in VMEM) --------------------------------
     xn_f, _, _ = _ln_fwd(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref)
@@ -262,31 +317,42 @@ def _bwd1_kernel(
 
 def _bwd2_kernel(
     hw_ref,
-    xprev, xcur, xnxt,
-    d2prev, d2cur, d2nxt,   # dx2 row blocks (padded like x)
-    mavg_ref,
-    applyT_ref,             # (1, Cg, Cg) apply^T (block-diag)
-    dgramT_ref,             # (1, Cg, Cg) d_gram^T
-    dgram_ref,              # (1, Cg, Cg) d_gram
-    dqss_ref, dkss_ref,     # (1, 1, Cg) f32
-    ln1w_ref, ln1b_ref,
-    wq_ref, bq_ref, dwq_ref, dwqF_ref, bdwq_ref,
-    wk_ref, bk_ref, dwk_ref, dwkF_ref, bdwk_ref,
-    wv_ref, bv_ref, dwv_ref, dwvF_ref, bdwv_ref,
-    wqT_ref, wkT_ref, wvT_ref,
-    # outputs
-    dx_ref,                 # [1, th, W, Cg]
-    dwq_out, dwk_out, dwv_out,          # (Cg, Cg) f32
-    dbq_out, dbk_out, dbv_out,          # (1, Cg)
-    ddwq_out, ddwk_out, ddwv_out,       # (9, Cg)
-    dbdwq_out, dbdwk_out, dbdwv_out,    # (1, Cg)
-    dln1w_out, dln1b_out,               # (1, Cg)
-    *,
+    *refs,
+    # use_dma=False: refs = (xprev, xcur, xnxt, d2prev, d2cur, d2nxt,
+    #                        <weights>, <outputs>)
+    # use_dma=True:  refs = (x_hbm, d2_hbm, <weights>, <outputs>,
+    #                        bufx, semx, bufd, semd)
+    # weights: mavg, applyT, dgramT, dgram, dqss, dkss, ln1w, ln1b,
+    #          (wq,bq,dwq,dwqF,bdwq), (wk,...), (wv,...), wqT, wkT, wvT
+    # outputs: dx, dWq, dWk, dWv, dbq, dbk, dbv, ddwq, ddwk, ddwv,
+    #          dbdwq, dbdwk, dbdwv, dln1w, dln1b
     th: int,
     w_out: int,
+    nt: int,
+    use_dma: bool,
 ):
     i = pl.program_id(1)
     bb = pl.program_id(0)
+    if use_dma:
+        (x_hbm, d2_hbm, mavg_ref, applyT_ref, dgramT_ref, dgram_ref,
+         dqss_ref, dkss_ref, ln1w_ref, ln1b_ref,
+         wq_ref, bq_ref, dwq_ref, dwqF_ref, bdwq_ref,
+         wk_ref, bk_ref, dwk_ref, dwkF_ref, bdwk_ref,
+         wv_ref, bv_ref, dwv_ref, dwvF_ref, bdwv_ref,
+         wqT_ref, wkT_ref, wvT_ref,
+         dx_ref, dwq_out, dwk_out, dwv_out, dbq_out, dbk_out, dbv_out,
+         ddwq_out, ddwk_out, ddwv_out, dbdwq_out, dbdwk_out, dbdwv_out,
+         dln1w_out, dln1b_out, bufx, semx, bufd, semd) = refs
+    else:
+        (xprev, xcur, xnxt, d2prev, d2cur, d2nxt, mavg_ref, applyT_ref,
+         dgramT_ref, dgram_ref, dqss_ref, dkss_ref, ln1w_ref, ln1b_ref,
+         wq_ref, bq_ref, dwq_ref, dwqF_ref, bdwq_ref,
+         wk_ref, bk_ref, dwk_ref, dwkF_ref, bdwk_ref,
+         wv_ref, bv_ref, dwv_ref, dwvF_ref, bdwv_ref,
+         wqT_ref, wkT_ref, wvT_ref,
+         dx_ref, dwq_out, dwk_out, dwv_out, dbq_out, dbk_out, dbv_out,
+         ddwq_out, ddwk_out, ddwv_out, dbdwq_out, dbdwk_out, dbdwv_out,
+         dln1w_out, dln1b_out) = refs
 
     @pl.when((bb == 0) & (i == 0))
     def _init():
@@ -295,12 +361,19 @@ def _bwd2_kernel(
                     dbdwv_out, dln1w_out, dln1b_out):
             ref[...] = jnp.zeros_like(ref)
 
-    x = _win6(xprev, xcur, xnxt, th)
-    d2w = _win6(d2prev, d2cur, d2nxt, th)
-    r6, wp, cg = x.shape
-    m0 = _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
-    x = x * m0
-    d2w = d2w * _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
+    if use_dma:
+        x, d2w = _dma_win6(
+            [(x_hbm, bufx, semx), (d2_hbm, bufd, semd)], bb, i, nt=nt, th=th
+        )
+        r6, wp, cg = x.shape
+        m0 = _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
+    else:
+        x = _win6(xprev, xcur, xnxt, th)
+        d2w = _win6(d2prev, d2cur, d2nxt, th)
+        r6, wp, cg = x.shape
+        m0 = _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
+        x = x * m0
+        d2w = d2w * _real_mask(i, th, hw_ref, r6, wp, row_off=-3, col_off=-4)
 
     xn_f, xhat1, rsig1 = _ln_fwd(x.astype(_F32), ln1w_ref, ln1b_ref, mavg_ref)
     xn = (xn_f * m0.astype(_F32)).astype(_BF16)
@@ -510,14 +583,45 @@ def fused_block_backward(
     ch = W["ch"]
     chg = g * ch
 
-    pad = lambda a: jnp.pad(
-        a.astype(_BF16), ((0, 0), (0, hp - h), (4, 4), (0, 0))
-    )
-    xg = _row_blocks(pad(_pack(x, g, b2, cg)), th, nt)
-    dyg = _row_blocks(pad(_pack(dy, g, b2, cg)), th, nt)
+    # Explicit-DMA overlapping windows (the v4 forward restructure — see
+    # _dma_win6) when the packed lane count is 128-aligned, which every
+    # c = 256//g training geometry satisfies; unaligned (odd-batch) cases
+    # keep the blocked prev/cur/nxt specs (Mosaic can't DMA-slice them).
+    use_dma = cg % 128 == 0
+    extra = (-(w + 8)) % 8 if use_dma else 0
+    wp8 = w + 8 + extra
+    if use_dma:
+        # H-padded by 3 so windows [i*th, i*th+th+6) are static, in-bounds,
+        # and exact zeros outside the image.
+        pad = lambda a: jnp.pad(
+            a.astype(_BF16), ((0, 0), (3, 3 + hp - h), (4, 4 + extra), (0, 0))
+        )
+        xg = pad(_pack(x, g, b2, cg))
+        dyg = pad(_pack(dy, g, b2, cg))
+    else:
+        pad = lambda a: jnp.pad(
+            a.astype(_BF16), ((0, 0), (0, hp - h), (4, 4), (0, 0))
+        )
+        xg = _row_blocks(pad(_pack(x, g, b2, cg)), th, nt)
+        dyg = _row_blocks(pad(_pack(dy, g, b2, cg)), th, nt)
     hw = jnp.asarray([h, w], jnp.int32)
-    wp8 = w + 8
     apply_bd = _bd_batch(apply_img.astype(_F32), g)
+
+    if use_dma:
+        win_in = lambda: [pl.BlockSpec(memory_space=pltpu.ANY)]
+        win_scratch = lambda: [
+            pltpu.VMEM((2, th + 6, wp8, cg), _BF16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        bwd_sem = ("arbitrary", "arbitrary")
+    else:
+        win_in = lambda: _win_specs(th, wp8, cg, nt)
+        win_scratch = lambda: []
+        bwd_sem = None
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024,
+        **({"dimension_semantics": bwd_sem} if bwd_sem else {}),
+    )
 
     # ---------------- pass B1 ----------------
     out_shapes = [
@@ -544,13 +648,13 @@ def fused_block_backward(
     ]
     (dx2, dapply, dW1, db1, ddwf, dbdwf, dW2, db2, dln2w, dln2b,
      dbproj) = pl.pallas_call(
-        functools.partial(_bwd1_kernel, th=th, w_out=w),
+        functools.partial(_bwd1_kernel, th=th, w_out=w, nt=nt,
+                          use_dma=use_dma),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nt),
             in_specs=[
-                *_win_specs(th, wp8, cg, nt),
-                *_win_specs(th, wp8, cg, nt),
+                *win_in(), *win_in(),
                 _rep((cg, cg)),
                 pl.BlockSpec((1, cg, cg), lambda bb, i, *_: (bb, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -564,14 +668,14 @@ def fused_block_backward(
                 _rep((cg, chg)),
             ],
             out_specs=out_specs,
+            scratch_shapes=win_scratch() + win_scratch(),
         ),
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
+        compiler_params=cparams,
         interpret=interpret,
     )(
-        hw, xg, xg, xg, dyg, dyg, dyg, W["mavg"], apply_bd,
+        hw, *((xg, dyg) if use_dma else (xg, xg, xg, dyg, dyg, dyg)),
+        W["mavg"], apply_bd,
         W["ln1w"], W["ln1b"],
         W["wv"], W["bv"], W["dwv"], W["bdwv"],
         W["bproj"],
@@ -602,8 +706,12 @@ def fused_block_backward(
     applyT_bd = _bd_batch(jnp.swapaxes(apply_img, -1, -2).astype(_F32), g)
 
     # ---------------- pass B2 ----------------
-    # dx2 is already lane-packed and row-padded; add the 4+4 halo columns.
-    d2g = _row_blocks(jnp.pad(dx2, ((0, 0), (0, 0), (4, 4), (0, 0))), th, nt)
+    # dx2 is already lane-packed and row-padded (tile-masked to zeros past
+    # h); add the halo columns (+ H halo on the DMA path).
+    if use_dma:
+        d2g = jnp.pad(dx2, ((0, 0), (3, 3), (4, 4 + extra), (0, 0)))
+    else:
+        d2g = _row_blocks(jnp.pad(dx2, ((0, 0), (0, 0), (4, 4), (0, 0))), th, nt)
     out_shapes2 = [
         jax.ShapeDtypeStruct((b2, hp, w, cg), _BF16),
         jax.ShapeDtypeStruct((cg, cg), _F32),
@@ -638,13 +746,13 @@ def fused_block_backward(
     )
     (dxp, dWq, dWk, dWv, dbq, dbk, dbv, ddwq, ddwk, ddwv, dbdwq, dbdwk,
      dbdwv, dln1w, dln1b) = pl.pallas_call(
-        functools.partial(_bwd2_kernel, th=th, w_out=w),
+        functools.partial(_bwd2_kernel, th=th, w_out=w, nt=nt,
+                          use_dma=use_dma),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b2, nt),
             in_specs=[
-                *_win_specs(th, wp8, cg, nt),
-                *_win_specs(th, wp8, cg, nt),
+                *win_in(), *win_in(),
                 _rep((cg, cg)),
                 batch_mat(), batch_mat(), batch_mat(),
                 batch_vec(), batch_vec(),
@@ -658,14 +766,14 @@ def fused_block_backward(
                 _rep((cg, cg)), _rep((cg, cg)), _rep((cg, cg)),
             ],
             out_specs=out_specs2,
+            scratch_shapes=win_scratch() + win_scratch(),
         ),
         out_shape=out_shapes2,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
+        compiler_params=cparams,
         interpret=interpret,
     )(
-        hw, xg, xg, xg, d2g, d2g, d2g, W["mavg"],
+        hw, *((xg, d2g) if use_dma else (xg, xg, xg, d2g, d2g, d2g)),
+        W["mavg"],
         applyT_bd, dgramT_bd, dgram_bd, dqss_bd, dkss_bd,
         W["ln1w"], W["ln1b"],
         W["wq"], W["bq"], W["dwq"], W["dwqF"], W["bdwq"],

@@ -235,6 +235,39 @@ def _hs_rev(alpha, c, lc):
     return c
 
 
+def _blelloch_rev(alpha, c, lc):
+    """Reverse inclusive scan ``lam_t = c_t + alpha_t * lam_{t+1}`` as a
+    Blelloch up/down sweep — the mirror image of :func:`_blelloch_fwd`
+    (round-4 landed the forward sweep only; the backward kept the ~35-pass
+    Hillis-Steele, VERDICT r4 #4). Span composition for the reverse monoid
+    is ``left o right = (aL*aR, bL + aL*bR)``; the up-sweep saves the ODD
+    (later-in-time) element of each pair, and the down-sweep propagates
+    exclusive SUFFIXES: S_odd = S, S_even = odd o S. Same ~12 leading-dim
+    op passes as the forward sweep. Requires pow2 lc."""
+    odds = []
+    ca, cb = alpha, c
+    m = lc
+    while m > 1:
+        ca2 = ca.reshape(m // 2, 2, *ca.shape[1:])
+        cb2 = cb.reshape(m // 2, 2, *cb.shape[1:])
+        e_a, o_a = ca2[:, 0], ca2[:, 1]
+        e_b, o_b = cb2[:, 0], cb2[:, 1]
+        odds.append((o_a, o_b))
+        ca = e_a * o_a
+        cb = e_b + e_a * o_b
+        m //= 2
+    sa = jnp.ones_like(ca)
+    sb = jnp.zeros_like(cb)
+    for o_a, o_b in reversed(odds):
+        m2 = sa.shape[0]
+        ea = o_a * sa
+        eb = o_b + o_a * sb
+        sa = jnp.stack([ea, sa], axis=1).reshape(2 * m2, *sa.shape[1:])
+        sb = jnp.stack([eb, sb], axis=1).reshape(2 * m2, *sb.shape[1:])
+    # Inclusive = element composed before its exclusive suffix.
+    return c + alpha * sb
+
+
 def _ssm_fwd_states_kernel(
     u_ref, dt_ref, b_ref, c_ref, a_ref, dsk_ref,
     y_ref, st_ref,
@@ -253,7 +286,8 @@ def _ssm_fwd_states_kernel(
     u = u_ref[0].astype(_F32)
     dt = dt_ref[0].astype(_F32)
     a, b = _discretize(u, dt, b_ref[0].astype(_F32), a_ref[...])
-    a, b = _hs_fwd(a, b, lc)
+    scan = _blelloch_fwd if lc & (lc - 1) == 0 else _hs_fwd
+    a, b = scan(a, b, lc)
     h = b + a * h_ref[...][None, :, :]
     h_ref[...] = h[lc - 1]
     y = jnp.sum(c_ref[0].astype(_F32)[:, :, None] * h, axis=1)
@@ -289,8 +323,9 @@ def _ssm_bwd_kernel(
     a_t = a_ref[...]                 # [N, Db] (A transposed)
     hin = hin_ref[0, 0, 0]           # [N, Db] chunk entry state
 
+    pow2 = lc & (lc - 1) == 0
     a, b = _discretize(u, dt, bsel, a_t)                  # [Lc, N, Db]
-    a_scan, b_scan = _hs_fwd(a, b, lc)
+    a_scan, b_scan = (_blelloch_fwd if pow2 else _hs_fwd)(a, b, lc)
     h = b_scan + a_scan * hin[None, :, :]
     h_prev = jnp.concatenate([hin[None], h[: lc - 1]], axis=0)
 
@@ -303,7 +338,7 @@ def _ssm_bwd_kernel(
     alpha = jnp.concatenate(
         [a[1:], jnp.ones((1,) + a.shape[1:], _F32)], axis=0
     )
-    lam = _hs_rev(alpha, c_src, lc)
+    lam = (_blelloch_rev if pow2 else _hs_rev)(alpha, c_src, lc)
     mu_ref[...] = a[0] * lam[0]
 
     # b_t-term: d(dt*u) and dB.

@@ -53,11 +53,14 @@ def _fuse_cmax() -> int:
     return int(os.environ.get("BAYER_TPU_FUSE_CMAX", "256"))
 
 
-# Deep-level (C>64) fusion is additionally gated to crop-like spatial
-# extents: at full-resolution level-3 geometry (354x530 @ C=128) fusion
-# measured a regression (49.0 -> 47.7 MP/s, round 2), while the crop
-# geometries (64^2 / 32^2) win. 16384 px = 2x the 64^2 crop extent.
-_DEEP_FUSE_MAX_PIXELS = 16384
+def _deep_fuse_max_pixels() -> int:
+    """Deep-level (C>64) fusion pixel-extent gate (``BAYER_TPU_FUSE_PXMAX``
+    overrides). Round-2 measured a regression at full-res level-3 geometry
+    (354x530 @ C=128) and gated deep fusion to crop-like extents (16384 px);
+    re-measured round 5 under the v4 explicit-DMA kernel, the SAME geometry
+    now wins 1.33x (4.71 vs 6.28 ms) — the stale gate was costing ~3 ms per
+    12MP frame — so the default gate is wide open (2^31)."""
+    return int(os.environ.get("BAYER_TPU_FUSE_PXMAX", str(2**31)))
 
 
 def _fusable(module: nn.Module, args) -> bool:
@@ -70,7 +73,7 @@ def _fusable(module: nn.Module, args) -> bool:
     c = args[0].shape[-1]
     if c > _fuse_cmax():
         return False
-    if c > 64 and args[0].shape[1] * args[0].shape[2] > _DEEP_FUSE_MAX_PIXELS:
+    if c > 64 and args[0].shape[1] * args[0].shape[2] > _deep_fuse_max_pixels():
         return False
     return True
 
@@ -157,6 +160,31 @@ def _should_pack_tail(module: nn.Module, args) -> Optional[int]:
 # zero-block FLOP waste is MXU-bound. Writeup in BENCHMARKS.md.
 
 
+def _band_halo(x, r: int, bands: int):
+    """Rows from the neighbouring bands (bands ride the batch axis,
+    batch-major per frame; zeros at each frame's own top/bottom edges —
+    identical to the monolithic frame's SAME pad). Built by overlapping
+    slices of the zero-padded FRAME view so a halo may span several bands
+    (bottleneck bands can be a single row tall).
+
+    Negative result (round 5, keep for the record): running the spatial
+    convs on the free FRAME VIEW instead (reshape [K,Hb,..] -> [1,K*Hb,..],
+    exact with zero halo cost) measured 164.5 ms full-res vs 152.7 with
+    these halo copies — the frame view puts the convs back at the slow
+    monolithic geometry and the view reshapes break XLA fusion; the band
+    GEOMETRY is what the halo copies buy."""
+    import jax.numpy as jnp
+
+    h = x.shape[1]
+    nf = x.shape[0] // bands
+    frame = x.reshape(nf, bands * h, *x.shape[2:])
+    fp = jnp.pad(frame, ((0, 0), (r, r)) + ((0, 0),) * (frame.ndim - 2))
+    out = jnp.stack(
+        [fp[:, k * h : k * h + h + 2 * r] for k in range(bands)], axis=1
+    )
+    return out.reshape(x.shape[0], h + 2 * r, *x.shape[2:])
+
+
 def fused_apply(
     model: nn.Module,
     variables: Any,
@@ -164,6 +192,7 @@ def fused_apply(
     tile_rows: Optional[int] = None,
     trainable: bool = False,
     packed_tail: Optional[bool] = None,
+    bands: int = 1,
     method=None,
     **kwargs,
 ):
@@ -182,10 +211,23 @@ def fused_apply(
     ``BAYER_TPU_PACK64`` env var) — in both inference and training.
     Defaults to the ``BAYER_TPU_PACKED_TAIL`` env var (on).
     Falls back to the plain path automatically for spatially-sharded blocks.
+
+    ``bands``: single-chip H-band streaming for full-resolution frames
+    (round 5; inference only). The caller passes x as ``bands`` contiguous
+    H-bands of ONE frame riding the batch axis (see
+    :func:`make_banded_forward`); every op then runs at crop-like batched
+    geometry — measured 1.51x the monolithic full-res graph — while
+    staying numerically identical to it: 3x3 convs see real neighbour-band
+    on the free frame view (exact, zero halo cost), the fused attention
+    kernel fills its windows' halos from neighbour bands and sums each
+    frame's gram across bands (``fused_transformer_block(bands=)``), and
+    band-preserving ops (1x1 convs, LN, s2d/d2s) are untouched.
     """
     kw = {} if tile_rows is None else {"tile_rows": tile_rows}
     if packed_tail is None:
         packed_tail = _packed_tail_default()
+    if bands > 1 and trainable:
+        raise ValueError("band streaming is an inference path")
 
     def interceptor(next_fn, iargs, ikwargs, context):
         module = context.module
@@ -234,25 +276,69 @@ def fused_apply(
         if packed_tail and _should_pack_conv(module, iargs):
             p = module.variables["params"]
             x = iargs[0].astype(module.dtype)
+            if bands > 1 and module.kernel_size == 3:
+                hb = x.shape[1]
+                y = wpack_ops.packed_conv(
+                    _band_halo(x, 1, bands), p["kernel"], p.get("bias"), f=4
+                )
+                return y[:, 1 : 1 + hb]
             return wpack_ops.packed_conv(x, p["kernel"], p.get("bias"), f=4)
         fd = _should_pack_down(module, iargs) if packed_tail else None
         if fd is not None:
             p = module.variables["params"]
             x = iargs[0].astype(module.dtype)
+            if bands > 1:
+                hb = x.shape[1]
+                y = wpack_ops.packed_downsample(
+                    _band_halo(x, 2, bands), p["conv"]["kernel"], f=fd
+                )
+                return y[:, 1 : 1 + hb // 2]
             return wpack_ops.packed_downsample(x, p["conv"]["kernel"], f=fd)
         ft = _should_pack_tail(module, iargs) if packed_tail else None
         if ft is not None and _fusable(module, iargs):
             params = module.variables["params"]
             x = iargs[0].astype(module.dtype)
             t = fused_transformer_block(
-                x, params["transformer"], module.num_heads, **kw
+                x, params["transformer"], module.num_heads, bands=bands, **kw
             )
+            if bands > 1:
+                hb = x.shape[1]
+                y = wpack_ops.packed_stage_tail(
+                    _band_halo(x, 2, bands), _band_halo(t, 2, bands),
+                    params, f=ft
+                )
+                return y[:, 2 : 2 + hb]
             return wpack_ops.packed_stage_tail(x, t, params, f=ft)
-        if _should_fuse(module, iargs, ikwargs):
+        if _should_fuse(module, iargs, ikwargs) or (
+            bands > 1 and isinstance(module, TransformerBlock)
+        ):
+            # Band mode force-fuses EVERY TransformerBlock regardless of the
+            # cmax/pixel gates: cross-band gram summation only exists in the
+            # kernel, and a per-band XLA block would silently compute
+            # band-local attention.
+            if bands > 1 and module.spatial_axis is not None:
+                raise ValueError("band mode cannot nest spatial sharding")
             params = module.variables["params"]
             return fused_transformer_block(
-                iargs[0], params, module.num_heads, **kw
+                iargs[0], params, module.num_heads, bands=bands, **kw
             )
+        if (
+            bands > 1
+            and isinstance(module, Conv2d)
+            and module.kernel_size > 1
+            and module.stride == 1
+            and module.dilation == 1
+            and module.spatial_axis is None
+            and getattr(iargs[0], "ndim", 0) == 4
+        ):
+            # Generic banded 3x3/5x5: neighbour-band halo rows + crop ==
+            # the monolithic frame's SAME conv (covers Downsample's inner
+            # conv, the unpacked stage tails at C>=128, and any head conv
+            # the packed route declined).
+            r = (module.kernel_size - 1) * module.dilation // 2
+            hb = iargs[0].shape[1]
+            y = next_fn(_band_halo(iargs[0], r, bands), *iargs[1:], **ikwargs)
+            return y[:, r : r + hb]
         return next_fn(*iargs, **ikwargs)
 
     with nn.intercept_methods(interceptor):
@@ -272,5 +358,48 @@ def make_fused_forward(
             model, variables, x, tile_rows=tile_rows, trainable=trainable,
             **kwargs,
         )
+
+    return forward
+
+
+def pick_bands(h: int, target: int = 8, unit: int = 16) -> int:
+    """Largest band count <= target such that h splits into equal bands
+    each divisible by ``unit`` (the model's /16 grid). The eval CLI pads H
+    to a multiple of ``target*unit`` first, so this normally returns
+    ``target``; odd pre-padded heights degrade gracefully toward 1."""
+    for k in range(target, 0, -1):
+        if h % k == 0 and (h // k) % unit == 0:
+            return k
+    return 1
+
+
+def make_banded_forward(
+    model: nn.Module,
+    bands: int,
+    tile_rows: Optional[int] = None,
+):
+    """Single-chip H-band-streamed full-resolution forward (inference).
+
+    The monolithic batch-1 12MP graph runs every op at a geometry the chip
+    hates (round-5 attribution: 163.6 ms vs 108.6 for the identical pixels
+    as an 8-band batch). This closure splits each frame into ``bands``
+    contiguous H-bands riding the batch axis — a FREE reshape in NHWC
+    row-major — and runs :func:`fused_apply` in band mode, which keeps the
+    result numerically identical to the monolithic forward (neighbour-band
+    halos for every spatial op, per-frame gram summation in the attention;
+    see ``fused_apply``'s ``bands`` doc). The output is re-assembled to
+    frame shape. H must split into equal /16-divisible bands
+    (:func:`pick_bands`; the eval CLI pads accordingly).
+    """
+
+    @functools.wraps(model.apply)
+    def forward(variables, x, **kwargs):
+        b, h, w, c = x.shape
+        hb = h // bands
+        xb = x.reshape(b * bands, hb, w, c)
+        y = fused_apply(
+            model, variables, xb, tile_rows=tile_rows, bands=bands, **kwargs
+        )
+        return y.reshape(b, h, w, y.shape[-1])
 
     return forward

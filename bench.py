@@ -226,13 +226,23 @@ def main():
     if os.environ.get("BENCH_NO_FULLRES") != "1":
         try:
             from bayer_low_light_image_enhancement_tpu.models.fused_apply import (
+                make_banded_forward,
                 make_fused_forward,
             )
 
-            fr_h, fr_w = 2832, 4240  # Sony SID frame, already /16-aligned
-            fwd = make_fused_forward(model) if use_fused else model.apply
+            fr_h, fr_w = 2832, 4240  # Sony SID frame
+            # H-band streaming (the eval CLI's default full-res path): pad H
+            # so the frame splits into 8 equal /16-divisible bands; the rate
+            # is reported against the REAL frame pixels, padding included in
+            # the time (matching what an eval user pays).
+            fr_hp = -(-fr_h // 128) * 128
+            if use_fused:
+                fwd = make_banded_forward(model, 8)
+            else:
+                fwd = model.apply
+                fr_hp = fr_h  # monolithic path needs only the /16 grid
             xf = jnp.asarray(
-                np.random.default_rng(1).uniform(0, 1, (1, fr_h, fr_w, 1)),
+                np.random.default_rng(1).uniform(0, 1, (1, fr_hp, fr_w, 1)),
                 jnp.float32,
             )
             fr_steps = 6

@@ -46,7 +46,9 @@ def main():
     import jax.numpy as jnp
 
     from bayer_low_light_image_enhancement_tpu.models.fused_apply import (
+        make_banded_forward,
         make_fused_forward,
+        pick_bands,
     )
     from bayer_low_light_image_enhancement_tpu.models.rawformer import (
         RawFormer,
@@ -72,10 +74,23 @@ def main():
     params = jax.jit(model.init)(key, x[:, :64, :64, :])
 
     for v in args.variants.split(","):
-        fwd = make_fused_forward(model) if v == "fused" else model.apply
-        ms = timed(lambda t, f=fwd: f(params, t), x, args.steps) * 1e3
-        print(f"{v:6s} [{b},{hp},{wp}] dim={args.dim}: {ms:8.2f} ms  "
-              f"{mp / ms * 1e3:7.2f} MP/s", flush=True)
+        hq, xq, mq = hp, x, mp
+        if v == "banded":
+            # The eval CLI's round-5 default: pad H into 8 equal
+            # /16-divisible bands; rate reported on the padded pixels the
+            # run actually processes (the driver metric divides by REAL
+            # frame pixels separately).
+            hq = -(-h // 128) * 128
+            xq = jax.random.uniform(key, (b, hq, wp, c), jnp.float32)
+            mq = b * hq * wp / 1e6
+            fwd = make_banded_forward(model, pick_bands(hq))
+        elif v == "fused":
+            fwd = make_fused_forward(model)
+        else:
+            fwd = model.apply
+        ms = timed(lambda t, f=fwd: f(params, t), xq, args.steps) * 1e3
+        print(f"{v:6s} [{b},{hq},{wp}] dim={args.dim}: {ms:8.2f} ms  "
+              f"{mq / ms * 1e3:7.2f} MP/s", flush=True)
 
 
 if __name__ == "__main__":

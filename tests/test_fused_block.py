@@ -104,3 +104,48 @@ def test_fused_apply_interceptor():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(expected, np.float32), **TOL
     )
+
+
+@pytest.mark.parametrize("bands", [4, 8])
+def test_banded_forward_matches_monolithic(bands):
+    """H-band streaming (the single-chip full-res path, round 5) is
+    numerically identical to the monolithic forward: H-bands ride the
+    batch axis, spatial convs see neighbour-band halo rows, and the
+    attention kernel fills its windows from neighbour bands and sums each
+    frame's gram across its bands. Full fp32 canonical model, band
+    heights down to 1 row at the bottleneck."""
+    from bayer_low_light_image_enhancement_tpu.models.fused_apply import (
+        make_banded_forward,
+    )
+    from bayer_low_light_image_enhancement_tpu.models.rawformer import (
+        RawFormer,
+        RawFormerConfig,
+    )
+
+    model = RawFormer(RawFormerConfig(dim=32, dtype=jnp.float32))
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 128, 48, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    expected = model.apply(variables, x)
+    got = make_banded_forward(model, bands=bands)(variables, x)
+    # The banded path's only deviation is the fused kernel's bf16 compute
+    # (the XLA pieces are bit-identical): bf16-level tolerance.
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expected, np.float32), **TOL
+    )
+
+
+def test_kernel_auto_band_matches_gsp(monkeypatch):
+    """BAYER_TPU_BAND=1 (kernel-internal H-band lane packing at batch 1)
+    matches the default W-segment spatial packing, including a frame
+    height that does not divide the band count."""
+    monkeypatch.setenv("BAYER_TPU_BAND", "1")
+    module = TransformerBlock(num_heads=4, dtype=jnp.bfloat16)
+    x = jnp.asarray(RNG.standard_normal((1, 90, 72, 32)).astype(np.float32) * 0.5)
+    variables = module.init(jax.random.PRNGKey(0), x)
+    xb = x.astype(jnp.bfloat16)
+    banded = fused_transformer_block(xb, variables["params"], 4)
+    monkeypatch.setenv("BAYER_TPU_BAND", "0")
+    gsp = fused_transformer_block(xb, variables["params"], 4)
+    np.testing.assert_allclose(
+        np.asarray(banded, np.float32), np.asarray(gsp, np.float32), **TOL
+    )
