@@ -164,6 +164,7 @@ def selective_scan_pallas(
         interpret = jax.default_backend() != "tpu"
     bsz, L, d = u.shape
     n = A.shape[1]
+    chunk, block_d = _interp_tiles(L, d, chunk, block_d, interpret)
 
     # Pad L with dt=0 steps (a=1, b=0: carry passes through) and D with dead
     # lanes (A=0, u=0 -> y=0), both sliced off on return.
@@ -357,6 +358,25 @@ def _ssm_bwd_kernel(
     ddt_ref[0] = (ddtu * u + ddt_a).astype(ddt_ref.dtype)
 
 
+def _interp_tiles(L: int, d: int, chunk: int, block_d: int, interpret: bool):
+    """Interpret-mode tile clamp: off-TPU there is no 128-lane / pow2-chunk
+    hardware reason to pad, and the default tiles (chunk 256, block_d 128)
+    cost up to 32x redundant interpreted work at unit-test sizes (L=64,
+    d_inner=16 pads 4x in L and 8x in D). Clamp both to the next pow2 of
+    the actual extent; on TPU return the tiles untouched. Forward and
+    backward both derive the clamp from the same (L, d), so the
+    chunk-indexed saved states stay consistent across the VJP pair."""
+    if not interpret:
+        return chunk, block_d
+    p = 1
+    while p < L:
+        p *= 2
+    bd = 1
+    while bd < d:
+        bd *= 2
+    return min(chunk, p), min(block_d, bd)
+
+
 def _pad_args(u, delta, B, C, A, D, chunk, block_d):
     bsz, L, d = u.shape
     n = A.shape[1]
@@ -380,6 +400,7 @@ def _pad_args(u, delta, B, C, A, D, chunk, block_d):
 def _fwd_with_states(u, delta, A, B, C, D, chunk, block_d, interpret):
     bsz, L, d = u.shape
     n = A.shape[1]
+    chunk, block_d = _interp_tiles(L, d, chunk, block_d, interpret)
     up, dtp, bp, cp, at, dsk, lp, dp = _pad_args(u, delta, B, C, A, D, chunk, block_d)
     nl, nd = lp // chunk, dp // block_d
     y, states = pl.pallas_call(
@@ -411,6 +432,7 @@ def _bwd_pallas(res, dy, chunk, block_d, interpret):
     u, delta, A, B, C, D, states = res
     bsz, L, d = u.shape
     n = A.shape[1]
+    chunk, block_d = _interp_tiles(L, d, chunk, block_d, interpret)
     up, dtp, bp, cp, at, dsk, lp, dp = _pad_args(u, delta, B, C, A, D, chunk, block_d)
     dyp = jnp.pad(
         dy.astype(_F32), ((0, 0), (0, lp - L), (0, dp - d))

@@ -61,9 +61,27 @@ def _rfft2_consts(h: int, w: int):
     return tuple(jnp.asarray(m) for m in _rfft2_consts_np(h, w))
 
 
-def _rfft2_dft(x, ortho):
+# Precision pinned: at DEFAULT, TPU fp32 dots may lower to single-pass
+# bf16 matmuls, which would degrade the 256-length DFT sums far past the
+# measured 5e-7 FFT-path agreement (ADVICE r4). HIGHEST (6-pass) measured
+# +~2 ms on the WFB forward vs HIGH (3-pass bf16, ~fp32-accurate window
+# for these unit-magnitude trig constants); HIGH keeps the FFT-path
+# agreement at <=2e-6 through a full FFAB (tests/test_wfb.py) at half the
+# MXU passes. ``BAYER_TPU_DFT_PRECISION`` overrides (default/high/highest).
+_dot = functools.partial(
+    jax.lax.dot_general,
+    precision={
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[os.environ.get("BAYER_TPU_DFT_PRECISION", "high")],
+)
+
+
+def _rfft2_dft_cvu(x, ortho):
     """norm='ortho' rfft2 over axes (1, 2) of NHWC x, as four fp32 MXU
-    matmuls returning separate (re, im) planes — no complex dtype.
+    matmuls returning separate (re, im) planes in the transform's NATIVE
+    ``[b, c, v, u]`` layout — no complex dtype, no relayout.
 
     The WFB FEB islands dispatch ~44 small rfft2/irfft2 round trips per
     forward; XLA's TPU FFT runs them at ~0.24 ms each IN-GRAPH (round-4
@@ -71,49 +89,64 @@ def _rfft2_dft(x, ortho):
     matmul FLOPs are ~2 orders cheaper at FEB's <=128^2 extents. (The
     round-2 isolated A/B that measured DFT 'neutral' was sitting on the
     standalone dispatch floor.) Matmuls contract the H/W axes directly via
-    dot_general; channels stay in the lane dimension throughout.
+    dot_general; the mag/phase 1x1 stacks downstream contract the c axis
+    in place (round 5), so nothing between the forward and inverse
+    transforms pays an HBM relayout.
     """
     ch, sh, cw, sw = _rfft2_consts(x.shape[1], x.shape[2])
-    # Precision pinned to HIGHEST: at DEFAULT, TPU fp32 dots may lower to
-    # reduced-precision bf16 passes, which would degrade the 256-length DFT
-    # sums far past the measured 5e-7 FFT-path agreement.
-    dot = functools.partial(jax.lax.dot_general,
-                            precision=jax.lax.Precision.HIGHEST)
     dn_w = (((2,), (0,)), ((), ()))   # [b,h,W,c] x [W,v] -> [b,h,c,v]
-    re1 = dot(x, cw, dn_w)
-    im1 = -dot(x, sw, dn_w)
+    re1 = _dot(x, cw, dn_w)
+    im1 = -_dot(x, sw, dn_w)
     dn_h = (((1,), (0,)), ((), ()))   # [b,H,c,v] x [H,u] -> [b,c,v,u]
-    yre = dot(re1, ch, dn_h) + dot(im1, sh, dn_h)
-    yim = dot(im1, ch, dn_h) - dot(re1, sh, dn_h)
-    # [b,c,v,u] -> [b,u,v,c]
+    yre = _dot(re1, ch, dn_h) + _dot(im1, sh, dn_h)
+    yim = _dot(im1, ch, dn_h) - _dot(re1, sh, dn_h)
+    return yre * ortho, yim * ortho
+
+
+def _rfft2_dft(x, ortho):
+    """[b,u,v,c]-layout wrapper of :func:`_rfft2_dft_cvu` (unit tests /
+    external callers; FEB itself stays in the native layout)."""
+    yre, yim = _rfft2_dft_cvu(x, ortho)
     perm = (0, 3, 2, 1)
-    return jnp.transpose(yre, perm) * ortho, jnp.transpose(yim, perm) * ortho
+    return jnp.transpose(yre, perm), jnp.transpose(yim, perm)
 
 
-def _irfft2_dft(re, im, h, w, scale):
-    """Inverse of ``_rfft2_dft`` (times ``scale``): expand the rfft half
-    spectrum to full W via Hermitian symmetry weights folded into the
-    inverse DFT matrices, then two inverse transforms as matmuls."""
-    ch, sh, cw, sw = _rfft2_consts(h, w)
+def _ihermitian_consts(w: int):
+    """Inverse-W DFT matrices [v, W] with the rfft Hermitian fold weights
+    (1 at DC/Nyquist, else 2) baked in."""
     v = w // 2 + 1
-    dot = functools.partial(jax.lax.dot_general,
-                            precision=jax.lax.Precision.HIGHEST)
-    # Inverse along H (full complex): z[h] = (1/H) sum_u y[u] e^{+2pi i uh/H}
-    dn_h = (((1,), (1,)), ((), ()))   # [b,U,v,c] x [H,U] -> [b,v,c,H]
-    zre = dot(re, ch, dn_h) - dot(im, sh, dn_h)
-    zim = dot(im, ch, dn_h) + dot(re, sh, dn_h)
-    # Inverse along W with Hermitian fold: x[w'] = (1/W) sum_{v'} wgt[v']
-    # (zre[v'] cos - zim[v'] sin), wgt = 1 at DC/Nyquist else 2.
     wgt = np.full((v,), 2.0, np.float32)
     wgt[0] = 1.0
     if w % 2 == 0:
         wgt[-1] = 1.0
     cwt = jnp.asarray((_dft_mats(w)[0][:, :v] * wgt).T)  # [v, W]
     swt = jnp.asarray((_dft_mats(w)[1][:, :v] * wgt).T)
+    return cwt, swt
+
+
+def _irfft2_dft_vuc(re, im, h, w, scale):
+    """Inverse rfft2 (times ``scale``) from ``[b, v, u, c]`` spectrum
+    planes — the layout the in-place mag/phase stacks produce — to NHWC.
+    Expands the half spectrum to full W via Hermitian symmetry weights
+    folded into the inverse DFT matrices."""
+    ch, sh, _, _ = _rfft2_consts(h, w)
+    cwt, swt = _ihermitian_consts(w)
+    # Inverse along H (full complex): z[h] = (1/H) sum_u y[u] e^{+2pi i uh/H}
+    dn_h = (((2,), (1,)), ((), ()))   # [b,v,U,c] x [H,U] -> [b,v,c,H]
+    zre = _dot(re, ch, dn_h) - _dot(im, sh, dn_h)
+    zim = _dot(im, ch, dn_h) + _dot(re, sh, dn_h)
+    # Inverse along W with the Hermitian fold: x[w'] = (1/W) sum_{v'}
+    # wgt[v'] (zre[v'] cos - zim[v'] sin).
     dn_w = (((1,), (0,)), ((), ()))   # [b,v,c,H] x [v,W] -> [b,c,H,W]
-    out = dot(zre, cwt, dn_w) - dot(zim, swt, dn_w)
-    # [b,c,H,W] -> [b,H,W,c]
+    out = _dot(zre, cwt, dn_w) - _dot(zim, swt, dn_w)
+    # [b,c,H,W] -> [b,H,W,c]: the single relayout of the whole island.
     return jnp.transpose(out, (0, 2, 3, 1)) * (scale / (h * w))
+
+
+def _irfft2_dft(re, im, h, w, scale):
+    """[b,u,v,c]-layout wrapper of :func:`_irfft2_dft_vuc` (unit tests)."""
+    return _irfft2_dft_vuc(jnp.transpose(re, (0, 2, 1, 3)),
+                           jnp.transpose(im, (0, 2, 1, 3)), h, w, scale)
 
 
 def _use_dft(h: int, w: int) -> bool:
@@ -126,6 +159,42 @@ def _use_dft(h: int, w: int) -> bool:
     if mode == "1":
         return True
     return jax.default_backend() == "tpu" and h <= 256 and w <= 256
+
+
+class _Spectral1x1(nn.Module):
+    """1x1-conv-equivalent channel matmul over an ARBITRARY tensor axis.
+
+    Parameter tree mirrors ``Conv2d`` exactly (``kernel`` [1,1,ci,co] +
+    ``bias`` [co], torch kaiming-uniform init), so checkpoints round-trip
+    byte-for-byte with the reference's ``nn.Conv2d(c, c, 1)`` stacks
+    (``/root/reference/RawFomer_WFB_FFAB/blocks.py:13-22``); but applying
+    it as a ``dot_general`` over a caller-chosen axis lets the FEB
+    spectrum pipeline stay in the DFT matmuls' native ``[b,c,v,u]`` /
+    ``[b,v,u,c]`` layouts — no transposes between the forward transform,
+    the mag/phase stacks, and the inverse transform (round 5; the two
+    [b,c,v,u]->[b,u,v,c] relayouts were pure HBM traffic)."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        from bayer_low_light_image_enhancement_tpu.models.common import (
+            torch_uniform_init,
+        )
+
+        axis = axis % x.ndim
+        ci = x.shape[axis]
+        kernel = self.param(
+            "kernel", torch_uniform_init(ci), (1, 1, ci, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", torch_uniform_init(ci), (self.features,), self.param_dtype
+        )
+        y = jax.lax.dot_general(x, kernel.reshape(ci, self.features).astype(x.dtype),
+                                (((axis,), (0,)), ((), ())))
+        return y + bias.astype(y.dtype)
 
 
 class FEB(nn.Module):
@@ -165,10 +234,28 @@ class FEB(nn.Module):
         # standalone op.
         ortho = 1.0 / float(np.sqrt(h * w))
         use_dft = _use_dft(h, w)
+        p10 = _Spectral1x1(c, param_dtype=self.param_dtype, name="process1_0")
+        p11 = _Spectral1x1(c, param_dtype=self.param_dtype, name="process1_1")
+        p20 = _Spectral1x1(c, param_dtype=self.param_dtype, name="process2_0")
+        p21 = _Spectral1x1(c, param_dtype=self.param_dtype, name="process2_1")
         if use_dft:
-            # DFT-matmul backend (see _rfft2_dft): exact zeros at the
-            # structurally-real bins by construction, so no eps-snap needed.
-            fre, fim = _rfft2_dft(pre, ortho)
+            # DFT-matmul backend (see _rfft2_dft_cvu): exact zeros at the
+            # structurally-real bins by construction (no eps-snap needed),
+            # and the whole island — forward DFT, mag/phase stacks, inverse
+            # DFT — runs as one fused fp32 matmul chain with the 1x1 convs
+            # contracting the channel axis in place.
+            fre, fim = _rfft2_dft_cvu(pre, ortho)          # [b,c,v,u]
+            mag = jnp.sqrt(fre * fre + fim * fim) + 1e-6
+            pha = jnp.arctan2(fim, fre)
+
+            mag = leaky_relu(p10(mag, axis=1), 0.1)        # -> [b,v,u,c]
+            mag = jnp.clip(p11(mag, axis=3), 0.0, 1e4)
+            pha = leaky_relu(p20(pha, axis=1), 0.1)
+            pha = p21(pha, axis=3)
+
+            spec_re = mag * jnp.cos(pha)                   # [b,v,u,c]
+            spec_im = mag * jnp.sin(pha)
+            out = _irfft2_dft_vuc(spec_re, spec_im, h, w, float(np.sqrt(h * w)))
         else:
             freq = jnp.fft.rfft2(pre, axes=(1, 2)) * ortho
             # The DC/Nyquist bins of a real signal are structurally real,
@@ -180,27 +267,18 @@ class FEB(nn.Module):
             fre = jnp.real(freq)
             fim = jnp.imag(freq)
             fim = jnp.where(jnp.abs(fim) <= 1e-6 * (jnp.abs(fre) + 1e-12), 0.0, fim)
-        mag = jnp.sqrt(fre * fre + fim * fim) + 1e-6
-        pha = jnp.arctan2(fim, fre)
+            mag = jnp.sqrt(fre * fre + fim * fim) + 1e-6
+            pha = jnp.arctan2(fim, fre)
 
-        mag = Conv2d(c, 1, name="process1_0", **kw)(mag)
-        mag = leaky_relu(mag, 0.1)
-        mag = Conv2d(c, 1, name="process1_1", **kw)(mag)
-        mag = jnp.clip(mag, 0.0, 1e4)
+            mag = leaky_relu(p10(mag), 0.1)    # axis=-1 == the 1x1 conv
+            mag = jnp.clip(p11(mag), 0.0, 1e4)
+            pha = leaky_relu(p20(pha), 0.1)
+            pha = p21(pha)
 
-        pha = Conv2d(c, 1, name="process2_0", **kw)(pha)
-        pha = leaky_relu(pha, 0.1)
-        pha = Conv2d(c, 1, name="process2_1", **kw)(pha)
-
-        # Recompose via cos/sin (reference blocks.py:32-34; also avoids
-        # complex exp, which this TPU backend doesn't implement).
-        spec_re = mag * jnp.cos(pha)
-        spec_im = mag * jnp.sin(pha)
-        # ortho inverse == backward inverse (1/N) scaled by sqrt(N).
-        if use_dft:
-            out = _irfft2_dft(spec_re, spec_im, h, w, float(np.sqrt(h * w)))
-        else:
-            spec = jax.lax.complex(spec_re, spec_im)
+            # Recompose via cos/sin (reference blocks.py:32-34; also avoids
+            # complex exp, which this TPU backend doesn't implement).
+            # ortho inverse == backward inverse (1/N) scaled by sqrt(N).
+            spec = jax.lax.complex(mag * jnp.cos(pha), mag * jnp.sin(pha))
             out = jnp.fft.irfft2(spec, s=(h, w), axes=(1, 2)) * float(np.sqrt(h * w))
         if h_ax is not None:
             out = jax.lax.dynamic_slice_in_dim(

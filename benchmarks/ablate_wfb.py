@@ -63,6 +63,21 @@ def main():
     idem = lambda self, x, *a, **k: x
     first_arg_pair = lambda self, x, *a, **k: (x, x)
     from bayer_low_light_image_enhancement_tpu.kernels import ssm_scan as ssmk_mod
+    from bayer_low_light_image_enhancement_tpu.models import common as common_mod
+    from bayer_low_light_image_enhancement_tpu.ops import dwt as dwt_mod
+
+    # DWT/IWT substitutes keeping the [4b, h/2, w/2, c] <-> [b, h, w, c]
+    # shape contract at near-zero cost (one strided slice / one repeat), so
+    # the marginal is the transform math + its memory traffic.
+    def _fake_dwt(x):
+        import jax.numpy as jnp2
+        q = x[:, ::2, ::2]
+        return jnp2.concatenate([q, q, q, q], axis=0)
+
+    def _fake_iwt(b):
+        import jax.numpy as jnp2
+        q = b[: b.shape[0] // 4]
+        return jnp2.repeat(jnp2.repeat(q, 2, axis=1), 2, axis=2)
 
     ablations = {
         "none": [],
@@ -77,6 +92,9 @@ def main():
         "gff": [(rep_mod.GatedFeedForward, "__call__",
                  lambda self, x, *a, **k: x)],
         "illu": [(wfb_mod.IlluminationEstimator, "__call__", first_arg_pair)],
+        "ln": [(common_mod.LayerNorm2d, "__call__", idem)],
+        "dwt": [(wfb_mod, "haar_dwt_stack", _fake_dwt),
+                (wfb_mod, "haar_iwt_stack", _fake_iwt)],
     }
 
     base = None
